@@ -1,0 +1,542 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+testdata tables (``documents``, ``embeddings``, ``events``).  The Spark side
+uses the engine's operators; the oracle side is independent ANSI SQL.  Every
+computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.blocking_keys import phonetic_combination
+from .operators import components, pairs
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (``--py-files`` analog).
+
+    Pandas UDFs are pickled by module reference; a driver launched from a
+    different cwd (e.g. the verify harness) would otherwise hit
+    ``ModuleNotFoundError`` in the workers.  Zips the package once per
+    session and registers it with ``addPyFile`` — the exact mechanism
+    ``spark-submit --py-files`` uses on a real cluster.
+    """
+    if spark.conf.get("spark.er.pkgShipped", None) == "1":
+        return
+    fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="er_spark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "entity_resolution_spark", os.path.relpath(full, _PKG_DIR)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set("spark.er.pkgShipped", "1")
+
+_TITLE_SQL = "split_part(text, ' ', 1)"
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc(spark, sf_dir).select(
+        "doc_id", F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("title")
+    )
+
+
+def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(record_id, block_key) long form from the reference blocking rule."""
+    return (
+        _title(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("record_id"),
+            F.explode(phonetic_combination(F.col("title"))).alias("block_key"),
+        )
+        .distinct()
+    )
+
+
+_BLOCKS_SQL = f"""
+    SELECT DISTINCT doc_id AS record_id, block_key FROM (
+        SELECT doc_id, unnest([
+            substr(s, 1, 1),
+            substr(s, 1, 2),
+            substr(s, 1, 3),
+            substr(s, greatest(length(s) - 2, 1), 3),
+            regexp_replace(regexp_replace(s, '[^\\p{{L}}]', '', 'g'), '[aeiou]', '', 'g')
+        ]) AS block_key
+        FROM (SELECT doc_id, lower({_TITLE_SQL}) AS s FROM documents)
+    )
+"""
+
+_EDGES_SQL = f"""
+    blocks AS ({_BLOCKS_SQL}),
+    edges AS (
+        SELECT l.record_id AS id1, r.record_id AS id2, count(*) AS weight
+        FROM blocks l JOIN blocks r
+          ON l.block_key = r.block_key AND l.record_id < r.record_id
+        GROUP BY 1, 2
+    )
+"""
+
+_TOKENS_SQL = """
+    tokens AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+    ),
+    toksz AS (SELECT doc_id, count(*) AS n_tok FROM tokens GROUP BY 1)
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _doc(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries (SURVEY §2 ids in comments)
+# ---------------------------------------------------------------------------
+
+def q_blocking_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B2+B5
+    return _blocks(spark, sf_dir)
+
+
+def q_block_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:  # G1
+    return _blocks(spark, sf_dir).groupBy("block_key").agg(
+        F.count("*").alias("block_size")
+    )
+
+
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:  # G2
+    return pairs.candidate_pairs(_blocks(spark, sf_dir), distinct=True)
+
+
+def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:  # G3
+    return pairs.edge_weights(_blocks(spark, sf_dir))
+
+
+def q_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:  # G4
+    return pairs.edge_weights(_blocks(spark, sf_dir), with_provenance=True).select(
+        "id1", "id2", F.array_join("provenance", ",").alias("provenance")
+    )
+
+
+def q_pruned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:  # G5
+    return pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir)))
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:  # G6
+    blocks = _blocks(spark, sf_dir)
+    pruned = pairs.prune(pairs.edge_weights(blocks))
+    docs = _doc(spark, sf_dir).select(F.col("doc_id").alias("record_id"))
+    return components.assign_components(
+        docs, pruned.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+
+
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:  # G7
+    return (
+        q_connected_components(spark, sf_dir)
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: exact
+    from .functions.text import md5_fingerprint
+
+    return (
+        _doc(spark, sf_dir)
+        .select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: jaccard
+    tok = _tokens(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    t1 = tok.select(F.col("doc_id").alias("id1"), "tok")
+    t2 = tok.select(F.col("doc_id").alias("id2"), "tok")
+    inter = (
+        edges.join(t1, "id1").join(t2, ["id2", "tok"]).groupBy("id1", "id2")
+        .agg(F.count("*").alias("isect"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_tok").alias("n2"))
+    return (
+        edges.join(inter, ["id1", "id2"], "left")
+        .join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.coalesce(F.col("isect"), F.lit(0))
+                / (F.col("n1") + F.col("n2") - F.coalesce(F.col("isect"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: minhash
+    tok = _tokens(spark, sf_dir)
+    hashes = [
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}_"), F.col("tok"))), 1, 15), 16, 10)
+            .cast("long")
+        ).alias(f"h{i}")
+        for i in range(8)
+    ]
+    return tok.groupBy("doc_id").agg(*hashes)
+
+
+def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 4 bands × 2 rows; pairs agreeing on ≥1 band."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(4):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", f"h{2*b}", f"h{2*b+1}").alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.union(b)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:  # text analysis
+    from .functions import text as T
+
+    d = _doc(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.distinct_token_count(F.col("text")).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_len"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:  # E4 window top-k
+    d = _doc(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+def q_date_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B3+B4
+    from .functions.blocking_keys import sliding_window_key, two_of_three_date
+
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.explode(two_of_three_date(F.col("ts"))).alias("date_key"),
+    ).union(
+        e.select("event_id", sliding_window_key(F.col("ts"), 7).alias("date_key"))
+    )
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (batch analog of the streaming op)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # ANN baseline
+    """Brute-force cosine top-5 neighbors for the first 10 vec_ids."""
+    from .operators.ann import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(queries_df, emb, k=5, round_to=4)
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:  # F11
+    t = _title(spark, sf_dir)
+    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    t1 = t.select(F.col("doc_id").alias("id1"), F.col("title").alias("title1"))
+    t2 = t.select(F.col("doc_id").alias("id2"), F.col("title").alias("title2"))
+    return (
+        edges.join(t1, "id1")
+        .join(t2, "id2")
+        .select("id1", "id2", F.levenshtein("title1", "title2").cast("long").alias("lev"))
+    )
+
+
+def _wrap(fn: QueryFn) -> QueryFn:
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    inner.__name__ = fn.__name__
+    inner.__doc__ = fn.__doc__
+    return inner
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        k: _wrap(v)
+        for k, v in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, QueryFn]:
+    return {
+        "blocking_keys": q_blocking_keys,
+        "block_sizes": q_block_sizes,
+        "candidate_pairs": q_candidate_pairs,
+        "edge_weights": q_edge_weights,
+        "edge_provenance": q_edge_provenance,
+        "pruned_edges": q_pruned_edges,
+        "connected_components": q_connected_components,
+        "component_sizes": q_component_sizes,
+        "exact_dedup": q_exact_dedup,
+        "token_jaccard": q_token_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_band_candidates": q_minhash_band_candidates,
+        "text_stats": q_text_stats,
+        "topk_per_group": q_topk_per_group,
+        "date_keys": q_date_keys,
+        "windowed_event_counts": q_windowed_event_counts,
+        "embedding_topk": q_embedding_topk,
+        "levenshtein_pairs": q_levenshtein_pairs,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MINHASH_COLS = ", ".join(
+    f"min(('0x' || substr(md5('{i}_' || tok), 1, 15))::bigint) AS h{i}"
+    for i in range(8)
+)
+
+_SIG_SQL = f"WITH {_TOKENS_SQL} SELECT doc_id, {_MINHASH_COLS} FROM tokens GROUP BY doc_id"
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "blocking_keys": _BLOCKS_SQL,
+        "block_sizes": f"WITH blocks AS ({_BLOCKS_SQL}) "
+        "SELECT block_key, count(*) AS block_size FROM blocks GROUP BY 1",
+        "candidate_pairs": f"WITH blocks AS ({_BLOCKS_SQL}) "
+        "SELECT DISTINCT l.record_id AS id1, r.record_id AS id2 "
+        "FROM blocks l JOIN blocks r ON l.block_key = r.block_key "
+        "AND l.record_id < r.record_id",
+        "edge_weights": f"WITH {_EDGES_SQL} SELECT id1, id2, weight FROM edges",
+        "edge_provenance": f"""
+            WITH blocks AS ({_BLOCKS_SQL})
+            SELECT l.record_id AS id1, r.record_id AS id2,
+                   string_agg(l.block_key, ',' ORDER BY l.block_key) AS provenance
+            FROM blocks l JOIN blocks r
+              ON l.block_key = r.block_key AND l.record_id < r.record_id
+            GROUP BY 1, 2
+        """,
+        "pruned_edges": f"WITH {_EDGES_SQL} "
+        "SELECT id1, id2, weight FROM edges WHERE weight > 1.5",
+        "connected_components": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            bi AS (SELECT id1 AS src, id2 AS dst FROM pruned
+                   UNION SELECT id2, id1 FROM pruned),
+            reach(src, dst) AS (
+                SELECT src, dst FROM bi
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+            ),
+            mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1)
+            SELECT d.doc_id AS record_id,
+                   least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component_id
+            FROM documents d LEFT JOIN mins m ON d.doc_id = m.src
+        """,
+        "component_sizes": f"""
+            WITH RECURSIVE {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            bi AS (SELECT id1 AS src, id2 AS dst FROM pruned
+                   UNION SELECT id2, id1 FROM pruned),
+            reach(src, dst) AS (
+                SELECT src, dst FROM bi
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+            ),
+            mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+            assign AS (
+                SELECT d.doc_id AS record_id,
+                       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component_id
+                FROM documents d LEFT JOIN mins m ON d.doc_id = m.src
+            )
+            SELECT component_id, count(*) AS n_records FROM assign GROUP BY 1
+        """,
+        "exact_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   count(*) AS dup_count, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "token_jaccard": f"""
+            WITH {_EDGES_SQL},
+            {_TOKENS_SQL.lstrip().lstrip(',')}
+            , pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            inter AS (
+                SELECT p.id1, p.id2, count(*) AS isect
+                FROM pruned p
+                JOIN tokens t1 ON t1.doc_id = p.id1
+                JOIN tokens t2 ON t2.doc_id = p.id2 AND t1.tok = t2.tok
+                GROUP BY 1, 2
+            )
+            SELECT p.id1, p.id2,
+                   round(coalesce(i.isect, 0)::double
+                         / (s1.n_tok + s2.n_tok - coalesce(i.isect, 0)), 6) AS jaccard
+            FROM pruned p
+            LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+            JOIN toksz s1 ON s1.doc_id = p.id1
+            JOIN toksz s2 ON s2.doc_id = p.id2
+        """,
+        "minhash_signatures": _SIG_SQL,
+        "minhash_band_candidates": f"""
+            WITH sig AS ({_SIG_SQL}),
+            banded AS (
+                SELECT doc_id, 0 AS band, h0::varchar || '_' || h1::varchar AS bucket FROM sig
+                UNION ALL
+                SELECT doc_id, 1, h2::varchar || '_' || h3::varchar FROM sig
+                UNION ALL
+                SELECT doc_id, 2, h4::varchar || '_' || h5::varchar FROM sig
+                UNION ALL
+                SELECT doc_id, 3, h6::varchar || '_' || h7::varchar FROM sig
+            )
+            SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        """,
+        "text_stats": """
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+            )
+            SELECT d.doc_id,
+                   len(list_filter(t.toks, x -> x <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(t.toks, x -> x <> ''))) AS n_distinct,
+                   length(d.text) AS n_len,
+                   round(
+                     len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
+                     / greatest(len(list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '')), 1),
+                     6) AS stopword_ratio
+            FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+        """,
+        "topk_per_group": """
+            SELECT lang, doc_id, n_chars, rn FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
+        "date_keys": """
+            SELECT event_id, date_key FROM (
+                SELECT event_id, unnest([
+                    'my_' || strftime(ts, '%m') || '_' || year(ts)::varchar
+                          || '_dy_' || strftime(ts, '%d') || '_' || year(ts)::varchar,
+                    'my_' || strftime(ts, '%m') || '_' || year(ts)::varchar
+                          || '_dm_' || strftime(ts, '%d') || '_' || strftime(ts, '%m'),
+                    'my_' || strftime(ts, '%d') || '_' || year(ts)::varchar
+                          || '_dm_' || strftime(ts, '%d') || '_' || strftime(ts, '%m')
+                ]) AS date_key
+                FROM events
+            )
+            UNION ALL
+            SELECT event_id,
+                   (date_diff('day', DATE '1970-01-01', ts::date) // 7)::varchar AS date_key
+            FROM events
+        """,
+        "windowed_event_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(q.embedding, e.embedding)
+                       / (sqrt(list_dot_product(q.embedding, q.embedding))
+                          * sqrt(list_dot_product(e.embedding, e.embedding))) AS sim
+                FROM q JOIN embeddings e ON q.vec_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC) AS rn
+                FROM sims
+            ) WHERE rn <= 5
+        """,
+        "levenshtein_pairs": f"""
+            WITH {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            t AS (SELECT doc_id, {_TITLE_SQL} AS title FROM documents)
+            SELECT p.id1, p.id2, levenshtein(t1.title, t2.title) AS lev
+            FROM pruned p JOIN t t1 ON t1.doc_id = p.id1
+                          JOIN t t2 ON t2.doc_id = p.id2
+        """,
+    }

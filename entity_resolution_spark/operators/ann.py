@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force baseline: broadcast the (small) query set,
+  JVM-side dot products via ``F.aggregate``/``F.zip_with`` (no Python), window
+  top-k.  Exact; linear scan of the corpus — the right baseline and the
+  fallback when recall must be 1.0.
+* ``lsh_topk`` — scale path: random-hyperplane (SRP) LSH bucketing.  Each
+  vector hashes to a ``n_planes``-bit signature per table; candidates are
+  corpus vectors sharing a bucket with the query in any table; exact cosine is
+  then computed only on candidates.  Hyperplanes are generated deterministically
+  (hash-based, seed 42) so results are reproducible across runs/cluster sizes.
+
+At 100 TB the corpus side stays partitioned; only signatures (8-64 bytes/row)
+shuffle, and the exact-rerank join touches candidate rows alone.  An IVF
+variant would replace the hash bucketing with a KMeans coarse quantizer —
+the bucketing/rerank plumbing here is identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, cosine).
+
+    The query side is broadcast (top-k queries are small by construction);
+    the corpus is scanned once, no shuffle of the vectors themselves — only
+    the (query_id, neighbor_id, sim) triples go through the top-k window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out
+
+
+def _srp_signature(vec_col, dim: int, n_planes: int, table: int, seed: int = 42):
+    """Deterministic random-hyperplane signature as a JVM expression.
+
+    Plane weights come from a hash of (seed, table, plane, coordinate) mapped
+    to [-1, 1] — no RNG state, identical on every executor.
+    """
+    bits = []
+    for p in range(n_planes):
+        # dot(vec, plane_p) where plane_p[i] = hash01(seed,table,p,i)*2-1
+        acc = F.lit(0.0).cast("double")
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda v, i: v
+                * (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.lit(seed), F.lit(table), F.lit(p), i),
+                            F.lit(10007),
+                        )
+                        / F.lit(5003.0)
+                    )
+                    - F.lit(1.0)
+                ),
+            ),
+            acc,
+            lambda a, v: a + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig * 2 + b
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH candidate generation + exact rerank."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    sig_cols = [
+        _srp_signature(F.col(vec_col), dim, n_planes, t).alias(f"sig{t}")
+        for t in range(n_tables)
+    ]
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), *sig_cols)
+    cs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), *sig_cols)
+    cands = None
+    for t in range(n_tables):
+        q_t = qs.select("query_id", "qv", F.col(f"sig{t}").alias("bucket"), F.lit(t).alias("tbl"))
+        c_t = cs.select("neighbor_id", "cv", F.col(f"sig{t}").alias("bucket"), F.lit(t).alias("tbl"))
+        j = q_t.join(c_t, ["tbl", "bucket"]).where(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.select("query_id", "neighbor_id", "qv", "cv").distinct()
+    sims = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out

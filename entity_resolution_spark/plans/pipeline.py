@@ -1,0 +1,79 @@
+"""End-to-end entity-resolution pipeline over the pages table.
+
+Stage graph (each stage a DataFrame; reference lifecycle ``manager.py:28-102``):
+
+    pages (url, warc_ts, html, text, lang)
+      └─ extract    → + record_id, text, title          (Arrow UDF, S1/S4)
+      └─ block      → (record_id, block_key)            (B2/B5/B6 + purging)
+      └─ edges      → (id1, id2, weight[, provenance])  (G2/G3/G4)
+      └─ prune      → weight > 1.5                      (G5)
+      └─ cluster    → (record_id, component_id)         (G6 large/small-star)
+      └─ evaluate   → P/R/F1 row                        (E1)
+
+``record_id = xxhash64(url)`` — stable, shuffle-independent, 64-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import blocking, components, evaluate, pairs
+
+
+@dataclass
+class ERConfig:
+    title_feature: str = "title"
+    stages: list[blocking.BlockingStage] = field(
+        default_factory=lambda: [blocking.BlockingStage("title", "phonetic_combination")]
+    )
+    prune_threshold: float = pairs.PRUNE_THRESHOLD
+    max_block_size: int | None = 1000
+    with_provenance: bool = False
+    salt_buckets: int | None = None
+
+
+def extract(pages: DataFrame, re_extract: bool = True) -> DataFrame:
+    """Add record_id and (re-)derive text deterministically from html.
+
+    Column pruning note: downstream stages must never carry ``html``; select
+    narrow immediately after this stage.
+    """
+    df = pages.withColumn("record_id", F.xxhash64("url"))
+    if re_extract:
+        df = df.withColumn("text", T.extract_text_udf(F.col("html")))
+    return df.withColumn("title", T.title_of(F.col("text")))
+
+
+def resolve(pages: DataFrame, cfg: ERConfig | None = None) -> DataFrame:
+    """pages → (record_id, url, component_id) entity assignment."""
+    cfg = cfg or ERConfig()
+    recs = extract(pages).select("record_id", "url", "title")
+    blocks = blocking.block(
+        recs, cfg.stages, max_block_size=cfg.max_block_size
+    )
+    edges = pairs.edge_weights(
+        blocks, with_provenance=cfg.with_provenance, salt_buckets=cfg.salt_buckets
+    )
+    pruned = pairs.prune(edges, cfg.prune_threshold)
+    assignment = components.assign_components(
+        recs.select("record_id"),
+        pruned.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+    )
+    return recs.select("record_id", "url").join(assignment, "record_id")
+
+
+def evaluate_against_truth(assignment: DataFrame, truth: DataFrame) -> DataFrame:
+    """assignment (record_id|url, component_id) vs truth (url, entity_id) → P/R/F1."""
+    truth_ids = truth.withColumn("record_id", F.xxhash64("url"))
+    pred_pairs = evaluate.clusters_to_pairs(
+        assignment.select("record_id", "component_id"), "component_id"
+    )
+    true_pairs = evaluate.clusters_to_pairs(
+        truth_ids.select("record_id", F.col("entity_id").alias("component_id")),
+        "component_id",
+    )
+    return evaluate.pairwise_metrics(pred_pairs, true_pairs)

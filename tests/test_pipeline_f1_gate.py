@@ -1,0 +1,64 @@
+"""The target's primary correctness gate (BASELINE.json):
+
+pairwise F1 ≥ 0.99 on labeled Common-Crawl-style pairs at the reference
+blocking key — plus determinism of extraction across runs and parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.functions.text import extract_text_py
+from entity_resolution_spark.plans import pipeline
+from entity_resolution_spark.sources.synthetic import make_pages
+
+
+def test_f1_gate(spark):
+    corpus = make_pages(n_entities=120, hot_key_rows=30)
+    pages = spark.createDataFrame(corpus.pages)
+    truth = spark.createDataFrame(corpus.truth)
+    m = pipeline.evaluate_against_truth(pipeline.resolve(pages), truth).collect()[0]
+    assert m["recall"] >= 0.99
+    assert m["precision"] >= 0.99
+    assert m["f1"] >= 0.99
+
+
+def test_labels_respect_blocking_key(spark):
+    corpus = make_pages(n_entities=40)
+    # negatives share >=1 blocking key with each other by construction
+    assert (~corpus.labels.is_match).sum() > 0
+    assert corpus.labels.is_match.sum() > 0
+
+
+def test_extraction_byte_identical_per_url(spark):
+    corpus = make_pages(n_entities=30)
+    pages = spark.createDataFrame(corpus.pages)
+    # Spark-side extraction matches the pinned pure function byte-for-byte
+    got = (
+        pipeline.extract(pages)
+        .select("url", "text")
+        .collect()
+    )
+    expect = {
+        r["url"]: extract_text_py(bytes(r["html"]))
+        for r in pages.select("url", "html").collect()
+    }
+    assert all(r["text"] == expect[r["url"]] for r in got)
+
+
+def test_extraction_deterministic_across_parallelism(spark):
+    corpus = make_pages(n_entities=30)
+    pages = spark.createDataFrame(corpus.pages)
+    h1 = (
+        pipeline.extract(pages.repartition(1))
+        .select(F.md5(F.concat_ws("|", "url", "text")).alias("h"))
+        .agg(F.bit_xor(F.conv(F.substring("h", 1, 15), 16, 10).cast("long")))
+        .collect()[0][0]
+    )
+    h8 = (
+        pipeline.extract(pages.repartition(8))
+        .select(F.md5(F.concat_ws("|", "url", "text")).alias("h"))
+        .agg(F.bit_xor(F.conv(F.substring("h", 1, 15), 16, 10).cast("long")))
+        .collect()[0][0]
+    )
+    assert h1 == h8
