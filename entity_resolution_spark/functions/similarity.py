@@ -1,0 +1,172 @@
+"""Pairwise similarity scoring (F7, F10, F11) — batched, never all-pairs.
+
+The reference computes an O(n²) cosine matrix per component
+(``klsh_engine.py:129-146``); at web scale similarities are computed only on
+candidate pairs (the meta-blocked edge table), as score columns:
+
+* ``levenshtein`` — Spark builtin (JVM).
+* ``jaro_winkler`` — pure-Python implementation of the classic public
+  algorithm inside an Arrow-batched pandas UDF (no jellyfish in env).
+* TF-IDF cosine — document frequencies via one aggregation, hashed term
+  vectors per document, sparse dot on the pair join (all DataFrame ops);
+  "fit" state (the DF table) is a small broadcast-able DataFrame.
+* ``distance_to_similarity`` — F10: ``clamp(1 - d/margin, 0, 1)``
+  (``train_pair_contrast.py:257-262``, margin=2 ``config.py:92``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (public algorithm; Winkler prefix boost p=0.1, max prefix 4)
+# ---------------------------------------------------------------------------
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    window = max(window, 0)
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, p: float = 0.1) -> float:
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * p * (1.0 - j)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler_py(str(a), str(b)) for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding / vector scoring (JVM-side)
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def distance_to_similarity(dist: Column, margin: float = 2.0) -> Column:
+    """F10: ``clamp(1 - d/margin, 0, 1)`` (margin 2 = reference config.py:92)."""
+    return F.greatest(F.least(F.lit(1.0) - dist / F.lit(margin), F.lit(1.0)), F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine over candidate pairs (F7 at scale)
+# ---------------------------------------------------------------------------
+
+def tfidf_vectors(
+    docs: DataFrame,
+    id_col: str = "record_id",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """(id, term_hash, tfidf_weight) long form, L2-normalized per document.
+
+    Smooth idf (ln((1+N)/(1+df)) + 1, sklearn convention).  All hash/agg
+    DataFrame ops — no Python.  The long form keeps vectors sparse; pair
+    scoring is a join on term_hash.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(
+        "id", F.pmod(F.xxhash64("term"), F.lit(num_features)).alias("term_hash")
+    ).agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    df_tbl = tf.groupBy("term_hash").agg(F.countDistinct("id").alias("df"))
+    idf = df_tbl.select(
+        "term_hash",
+        (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)).alias("idf"),
+    )
+    weighted = tf.join(idf, "term_hash").select(
+        "id", "term_hash", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = weighted.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return weighted.join(norms, "id").select(
+        "id", "term_hash", (F.col("w") / F.col("norm")).alias("w")
+    )
+
+
+def tfidf_cosine_pairs(
+    pairs_df: DataFrame,
+    vectors: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Add ``tfidf_cosine`` to a pair table via sparse-vector join-aggregate."""
+    v1 = vectors.select(F.col("id").alias(id1), "term_hash", F.col("w").alias("w1"))
+    v2 = vectors.select(F.col("id").alias(id2), "term_hash", F.col("w").alias("w2"))
+    dots = (
+        pairs_df.select(id1, id2)
+        .join(v1, id1)
+        .join(v2, [id2, "term_hash"])
+        .groupBy(id1, id2)
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("tfidf_cosine"))
+    )
+    return pairs_df.join(dots, [id1, id2], "left").withColumn(
+        "tfidf_cosine", F.coalesce(F.col("tfidf_cosine"), F.lit(0.0))
+    )

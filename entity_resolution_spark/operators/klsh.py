@@ -1,0 +1,185 @@
+"""Per-component KLSH (KMeans-as-LSH) clustering — grouped-map applyInPandas.
+
+Reference: ``block_klsh/clustering/klsh_engine.py:27-239`` runs, for each
+connected component, a k sweep (k in [k_bottom, min(k_top, n)]) of seeded
+KMeans over the weighted engineered feature matrix, then derives predicted
+pairs per k and picks best k.  Here each component is one Arrow group:
+
+    records_with_components.groupBy("component_id").applyInPandas(...)
+
+which parallelizes across components (thousands of small fits at web scale)
+while keeping the reference's *per-component* scaler-fit semantics exactly —
+the scaler never sees rows outside its group (SURVEY §7.3 risk 4).
+
+Output is long form: one row per (component, k, record) with the cluster id,
+plus per-(component,k) wcss and silhouette for E2/E3 k-selection.  Pair
+explosion and best-k-by-F1 (E4) stay DataFrame ops downstream.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.features import FeatureSpec
+from ..ml.kmeans import kmeans_fit_predict, silhouette
+
+HALF_PI = math.pi / 2.0
+
+KLSH_SCHEMA = (
+    "component_id long, record_id long, k int, cluster_id int, "
+    "wcss double, silhouette double"
+)
+
+
+def engineer_pandas(pdf: pd.DataFrame, spec: FeatureSpec) -> np.ndarray:
+    """Weighted feature matrix for one component slice (pandas/numpy).
+
+    Mirrors ``klsh_engine.py:148-184`` including per-slice StandardScaler
+    (population std; zero-variance column → 0.0).
+    """
+    cols: list[np.ndarray] = []
+    for c in spec.bool_cols:
+        v = pdf[c].to_numpy(dtype=float)
+        cos = np.where(v == 0, 1.0, 0.0) * spec.weight(f"{c}_cos")
+        sin = np.where(v == 0, 0.0, 1.0) * spec.weight(f"{c}_sin")
+        cols += [cos, sin]
+    for c in spec.numeric_cols:
+        v = pdf[c].to_numpy(dtype=float)
+        std = v.std()  # ddof=0, StandardScaler semantics
+        z = (v - v.mean()) / std if std > 0 else np.zeros_like(v)
+        cols.append(z * spec.weight(c))
+    for c, ref, horizon in spec.date_cols:
+        dt = pd.to_datetime(pdf[c], errors="coerce")
+        ref_ts = pd.Timestamp(ref)
+        frac = ((dt - ref_ts).dt.total_seconds() / (horizon * 86400.0)).clip(0, 1)
+        theta = frac.to_numpy(dtype=float) * HALF_PI
+        cols += [
+            np.cos(theta) * spec.weight(f"{c}_cos"),
+            np.sin(theta) * spec.weight(f"{c}_sin"),
+        ]
+    for c, mx in spec.ordinal_cols:
+        theta = pdf[c].to_numpy(dtype=float) / mx * HALF_PI
+        cols += [
+            np.cos(theta) * spec.weight(f"{c}_cos"),
+            np.sin(theta) * spec.weight(f"{c}_sin"),
+        ]
+    return np.column_stack(cols)
+
+
+def klsh_sweep(
+    records: DataFrame,
+    spec: FeatureSpec,
+    component_col: str = "component_id",
+    id_col: str = "record_id",
+    k_bottom: int = 1,
+    k_top: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """k-sweep KMeans per component → long-form assignments + fit metrics."""
+
+    def run_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        comp = pdf[component_col].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        out = []
+        if n == 1:
+            out.append((comp, ids[0], k_bottom, 0, 0.0, float("nan")))
+        else:
+            X = engineer_pandas(pdf, spec)
+            for k in range(k_bottom, min(k_top, n) + 1):
+                labels, inertia = kmeans_fit_predict(X, k, seed=seed)
+                sil = silhouette(X, labels)
+                for rid, lb in zip(ids, labels):
+                    out.append((comp, rid, k, int(lb), inertia, sil))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "component_id", "record_id", "k", "cluster_id", "wcss", "silhouette",
+            ],
+        )
+
+    return records.groupBy(component_col).applyInPandas(run_component, KLSH_SCHEMA)
+
+
+def klsh_pairs(assignments: DataFrame) -> DataFrame:
+    """Predicted i<j pairs per (component, k, cluster) — cluster-local
+    self-join, same pattern as block-local pair generation (G9)."""
+    a, b = assignments.alias("l"), assignments.alias("r")
+    return (
+        a.join(b, ["component_id", "k", "cluster_id"])
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            "component_id",
+            "k",
+            F.col("l.record_id").alias("id1"),
+            F.col("r.record_id").alias("id2"),
+        )
+    )
+
+
+def best_k_by_f1(
+    assignments: DataFrame, true_pairs: DataFrame
+) -> DataFrame:
+    """E1+E4: per-(component,k) pairwise P/R/F1 vs labeled pairs, then the
+    reference's tie-break — lowest k among max F1 (idxmax-first semantics,
+    ``klsh_engine.py:107``).
+
+    ``true_pairs``: (id1, id2) canonical labeled positives.
+    """
+    pred = klsh_pairs(assignments)
+    t = true_pairs.select(
+        F.least("id1", "id2").alias("id1"), F.greatest("id1", "id2").alias("id2")
+    ).withColumn("_t", F.lit(1))
+    joined = pred.join(t, ["id1", "id2"], "left")
+    # counts per (component, k)
+    per_k = joined.groupBy("component_id", "k").agg(
+        F.count("*").alias("n_pred"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("tp"),
+    )
+    # true pair counts per component: map each true pair to its component via
+    # any assignment row (k is irrelevant for membership)
+    members = assignments.select("component_id", "record_id").distinct()
+    truth_comp = (
+        t.join(members.withColumnRenamed("record_id", "id1"), "id1")
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n_true"))
+    )
+    # components × ks universe (k rows exist even when no pairs predicted)
+    ks = assignments.select("component_id", "k").distinct()
+    metrics = (
+        ks.join(per_k, ["component_id", "k"], "left")
+        .join(truth_comp, "component_id", "left")
+        .select(
+            "component_id",
+            "k",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("n_true", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+        )
+        .withColumn(
+            "precision",
+            F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "recall",
+            F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") * F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("f1"), F.asc("k"))
+    return metrics.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") == 1
+    ).drop("rank")

@@ -31,14 +31,34 @@ from pyspark.sql import functions as F
 PRUNE_THRESHOLD = 1.5  # reference block_klsh/config.py:23
 
 
-def candidate_pairs(blocks: DataFrame, distinct: bool = True) -> DataFrame:
+def candidate_pairs(
+    blocks: DataFrame,
+    distinct: bool = True,
+    left_partitions: int | None = None,
+    broadcast_blocks: bool = False,
+) -> DataFrame:
     """All i<j pairs within each block: (id1, id2[, block_key]).
 
     With ``distinct=True`` collapses multi-block duplicates → the candidate
     set; with ``distinct=False`` keeps one row per (pair, block) for weighting.
+
+    Physical knobs (explicit per north_rule):
+
+    * ``left_partitions`` — round-robin repartition of the probe side before
+      the join.  A narrow parquet scan otherwise yields 1-2 input partitions
+      and the whole quadratic pair generation runs in as many tasks; with a
+      broadcast build side, per-row work is spread evenly over all cores and
+      hot blocks cost no more than their share of rows.
+    * ``broadcast_blocks`` — broadcast the build side (valid when the block
+      table fits the broadcast threshold; at larger scale leave False and use
+      ``candidate_pairs_salted`` for skew).
     """
-    left = blocks.alias("l")
-    right = blocks.alias("r")
+    left = blocks
+    if left_partitions:
+        left = left.repartition(left_partitions)
+    left = left.alias("l")
+    right = F.broadcast(blocks) if broadcast_blocks else blocks
+    right = right.alias("r")
     pairs = (
         left.join(right, on="block_key")
         .where(F.col("l.record_id") < F.col("r.record_id"))

@@ -66,6 +66,47 @@ def resolve(pages: DataFrame, cfg: ERConfig | None = None) -> DataFrame:
     return recs.select("record_id", "url").join(assignment, "record_id")
 
 
+def score(
+    pages: DataFrame,
+    edges: DataFrame,
+    with_tfidf: bool = True,
+    match_threshold: float | None = None,
+) -> DataFrame:
+    """Batched pairwise scoring of candidate pairs (SURVEY §7.0 `score`).
+
+    Adds ``lev``, ``jaro_winkler`` on titles and ``tfidf_cosine`` on full
+    text; never carries ``html`` (column pruning).  With ``match_threshold``
+    adds the E5-style binary ``is_match_pred`` at sim ≥ threshold.
+    """
+    from ..functions import similarity as S
+
+    recs = extract(pages).select("record_id", "title", "text")
+    t1 = recs.select(
+        F.col("record_id").alias("id1"),
+        F.col("title").alias("title1"),
+    )
+    t2 = recs.select(
+        F.col("record_id").alias("id2"),
+        F.col("title").alias("title2"),
+    )
+    out = (
+        edges.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("lev", F.levenshtein("title1", "title2").cast("long"))
+        .withColumn("jaro_winkler", S.jaro_winkler_udf(F.col("title1"), F.col("title2")))
+        .drop("title1", "title2")
+    )
+    if with_tfidf:
+        vectors = S.tfidf_vectors(recs, id_col="record_id", text_col="text")
+        out = S.tfidf_cosine_pairs(out, vectors)
+    if match_threshold is not None:
+        out = out.withColumn(
+            "is_match_pred",
+            (F.col("tfidf_cosine") >= F.lit(match_threshold)).cast("int"),
+        )
+    return out
+
+
 def evaluate_against_truth(assignment: DataFrame, truth: DataFrame) -> DataFrame:
     """assignment (record_id|url, component_id) vs truth (url, entity_id) → P/R/F1."""
     truth_ids = truth.withColumn("record_id", F.xxhash64("url"))

@@ -233,8 +233,10 @@ def make_apollo(seed: int = SEED) -> tuple[pd.DataFrame, list[set[int]]]:
         # (names, quality_range, amt)
         (["Marvelo", "Marvelo", "Marvelo", "Marv", "Marveloo", "Marvelorium",
           "Marvelo", "Marvelo", "Marvelo", "Marvelo"], (0, 1), 4000),
-        (["Marten Vogel", "Marten Vögel", "Marten V", "Marten Vogel",
-          "Marten Vogel", "Martin Vogel"], (2, 3), 5000),
+        # shares only the first letter with Marvelo (like Apollo/August in the
+        # reference data — differs at char 2, so weight 1 → pruned)
+        (["Morten Vogel", "Morten Vögel", "Morten V", "Morten Vogel",
+          "Morten Vogel", "Mortin Vogel"], (2, 3), 5000),
         (["Koralin", "Koralin", "Koralin", "Koralin", "Koralin"], (6, 8), 15000),
     ]
     rows = []

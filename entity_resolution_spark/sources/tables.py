@@ -1,0 +1,41 @@
+"""Table loaders with reference-equivalent type coercion (S1/S4).
+
+``coerce_records`` mirrors ``block_klsh/manager.py:28-33``: name → string,
+numerics via ``to_numeric(errors='coerce')`` (→ nulls on failure, same as
+Spark's try_cast), dates via ``%d/%m/%Y``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def coerce_records(df: DataFrame) -> DataFrame:
+    """Apollo-shaped record table coercion (name,tension_adj,tension,
+    resonance,longevity,quality,amt_sold)."""
+    return df.select(
+        F.col("name").cast("string").alias("name"),
+        F.col("tension_adj").try_cast("int").alias("tension_adj"),
+        F.col("tension").try_cast("double").alias("tension"),
+        F.col("resonance").try_cast("double").alias("resonance"),
+        F.to_date(F.col("longevity").cast("string"), "dd/MM/yyyy").alias("longevity"),
+        F.col("quality").try_cast("int").alias("quality"),
+        F.col("amt_sold").try_cast("double").alias("amt_sold"),
+    )
+
+
+def read_records_csv(spark: SparkSession, path: str, encoding: str = "cp1252") -> DataFrame:
+    """CSV scan with header + charset, then coercion (reference S1)."""
+    raw = spark.read.option("header", True).option("encoding", encoding).csv(path)
+    return coerce_records(raw)
+
+
+def with_record_id(df: DataFrame, order_col: str | None = None) -> DataFrame:
+    """Stable 0-based record index for fixtures (mirrors the pandas row index
+    the reference uses as record identity).  Only for small parity fixtures —
+    real pipelines use xxhash64(url)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id() if order_col is None else F.col(order_col))
+    return df.withColumn("record_id", F.row_number().over(w).cast("long") - 1)
