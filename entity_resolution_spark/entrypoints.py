@@ -334,6 +334,123 @@ def _wrap(fn: QueryFn) -> QueryFn:
     return inner
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: char 3-gram
+    from .operators import dedup
+
+    docs = _doc(spark, sf_dir)
+    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    return dedup.ngram_jaccard_pairs(docs, edges)
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    sig = q_minhash_signatures(spark, sf_dir)
+    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    return dedup.minhash_jaccard_estimate(sig, edges)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only
+    from .operators import dedup
+
+    sig = dedup.simhash_signatures(_doc(spark, sf_dir))
+    return dedup.simhash_near_pairs(sig, max_hamming=8)
+
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import similarity as S
+
+    docs = _doc(spark, sf_dir).select(F.col("doc_id").alias("record_id"), "text")
+    vectors = S.tfidf_vectors(docs, num_features=None)  # term-keyed (oracle parity)
+    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    return S.tfidf_cosine_pairs(edges, vectors).withColumn(
+        "tfidf_cosine", F.round("tfidf_cosine", 6)
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as T
+
+    return _doc(spark, sf_dir).select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as T
+
+    return _doc(spark, sf_dir).select(
+        "doc_id", T.lang_guess(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:  # F3/F4 quarter-circle
+    from .functions import features as FE
+
+    d = _doc(spark, sf_dir)
+    ord_col = F.pmod(F.col("n_chars"), F.lit(10))
+    bool_col = F.pmod(F.col("n_chars"), F.lit(2))
+    oc, os_ = FE.embed_ordinal(ord_col, 9)
+    bc, bs = FE.embed_bool(bool_col)
+    return d.select(
+        "doc_id",
+        F.round(oc, 6).alias("ord_cos"),
+        F.round(os_, 6).alias("ord_sin"),
+        bc.alias("bool_cos"),
+        bs.alias("bool_sin"),
+    )
+
+
+def q_klsh_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only (G8)
+    from .functions.features import FeatureSpec
+    from .operators import klsh
+
+    assignment = q_connected_components(spark, sf_dir)
+    recs = (
+        _doc(spark, sf_dir)
+        .select(F.col("doc_id").alias("record_id"), "n_chars")
+        .join(assignment, "record_id")
+        .withColumn("ordq", F.pmod("n_chars", F.lit(10)))
+    )
+    spec = FeatureSpec(numeric_cols=("n_chars",), ordinal_cols=(("ordq", 9),))
+    return klsh.klsh_sweep(recs, spec, k_top=4)
+
+
+def q_encoder_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only (F9)
+    from .ml import encoder as E
+
+    d = _doc(spark, sf_dir)
+    feats = d.select(
+        "doc_id",
+        F.cos(F.pmod("n_chars", F.lit(10)) / 9 * F.lit(1.5707963)).alias("quality_cos"),
+        F.sin(F.pmod("n_chars", F.lit(10)) / 9 * F.lit(1.5707963)).alias("quality_sin"),
+        (F.col("n_chars") / 500.0).alias("resonance"),
+        (F.length("text") / 500.0).alias("tension"),
+        F.when(F.pmod("n_chars", F.lit(2)) == 0, 1.0).otherwise(0.0).alias("tension_adj_cos"),
+        F.when(F.pmod("n_chars", F.lit(2)) == 0, 0.0).otherwise(1.0).alias("tension_adj_sin"),
+        F.lit(0.5).alias("longevity_cos"),
+        F.lit(0.8).alias("longevity_sin"),
+    )
+    out = E.embed_dataframe(feats, E.init_weights())
+    return out.select("doc_id", F.round(F.element_at("embedding", 1), 5).alias("e0"),
+                      F.round(F.element_at("embedding", 64), 5).alias("e63"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only (scale ANN)
+    from .operators.ann import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5, round_to=4)
+
+
+def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1
+    from .functions.blocking_keys import soundex_key
+
+    return _title(spark, sf_dir).select(
+        "doc_id", soundex_key(F.col("title")).alias("soundex")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         k: _wrap(v)
@@ -361,6 +478,17 @@ def _raw_queries() -> dict[str, QueryFn]:
         "windowed_event_counts": q_windowed_event_counts,
         "embedding_topk": q_embedding_topk,
         "levenshtein_pairs": q_levenshtein_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "tfidf_cosine": q_tfidf_cosine,
+        "quality_score": q_quality_score,
+        "lang_guess": q_lang_guess,
+        "feature_embed": q_feature_embed,
+        "klsh_assignments": q_klsh_assignments,
+        "encoder_embeddings": q_encoder_embeddings,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "soundex_keys": q_soundex_keys,
     }
 
 
@@ -539,4 +667,123 @@ def oracle_sql() -> dict[str, str]:
             FROM pruned p JOIN t t1 ON t1.doc_id = p.id1
                           JOIN t t2 ON t2.doc_id = p.id2
         """,
+        "ngram_jaccard": f"""
+            WITH {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            sh AS (
+                SELECT DISTINCT doc_id AS id, substr(text, i, 3) AS shingle
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+                    FROM documents
+                )
+                WHERE length(substr(text, i, 3)) > 0
+            ),
+            sz AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+                SELECT p.id1, p.id2, count(*) AS isect
+                FROM pruned p
+                JOIN sh s1 ON s1.id = p.id1
+                JOIN sh s2 ON s2.id = p.id2 AND s1.shingle = s2.shingle
+                GROUP BY 1, 2
+            )
+            SELECT p.id1, p.id2,
+                   round(coalesce(i.isect, 0)::double
+                         / (z1.n_sh + z2.n_sh - coalesce(i.isect, 0)), 6) AS ngram_jaccard
+            FROM pruned p
+            LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+            JOIN sz z1 ON z1.id = p.id1
+            JOIN sz z2 ON z2.id = p.id2
+        """,
+        "minhash_jaccard_est": f"""
+            WITH {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            sig AS ({_SIG_SQL})
+            SELECT p.id1, p.id2,
+                   (({" + ".join(f"(a.h{i} = b.h{i})::int" for i in range(8))})::double / 8.0)
+                   AS jaccard_est
+            FROM pruned p JOIN sig a ON a.doc_id = p.id1
+                          JOIN sig b ON b.doc_id = p.id2
+        """,
+        "tfidf_cosine": f"""
+            WITH {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            terms AS (
+                SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT id, term AS term_key, count(*) AS tf
+                   FROM terms WHERE term <> '' GROUP BY 1, 2),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            idf AS (SELECT term_key,
+                           ln((1.0 + (SELECT n_docs FROM n)) / (1.0 + count(DISTINCT id))) + 1.0 AS idf
+                    FROM tf GROUP BY 1),
+            wts AS (SELECT tf.id, tf.term_key, tf.tf * idf.idf AS w
+                    FROM tf JOIN idf USING (term_key)),
+            nrm AS (SELECT id, sqrt(sum(w * w)) AS nm FROM wts GROUP BY 1),
+            vec AS (SELECT wts.id, term_key, w / nm AS w FROM wts JOIN nrm USING (id)),
+            dots AS (
+                SELECT p.id1, p.id2, sum(v1.w * v2.w) AS dot
+                FROM pruned p
+                JOIN vec v1 ON v1.id = p.id1
+                JOIN vec v2 ON v2.id = p.id2 AND v1.term_key = v2.term_key
+                GROUP BY 1, 2
+            )
+            SELECT p.id1, p.id2, round(coalesce(d.dot, 0.0), 6) AS tfidf_cosine
+            FROM pruned p LEFT JOIN dots d ON d.id1 = p.id1 AND d.id2 = p.id2
+        """,
+        "quality_score": """
+            WITH s AS (
+                SELECT doc_id, text, length(text) AS n,
+                       length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
+                           / greatest(length(text), 1) AS punct_ratio,
+                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
+                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')), 1) AS sw_ratio
+                FROM documents
+            )
+            SELECT doc_id,
+                   round((least(n / 500.0, 1.0)
+                          + (1.0 - least(punct_ratio * 4.0, 1.0))
+                          + least(sw_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+            FROM s
+        """,
+        "lang_guess": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                FROM documents
+            ),
+            scores AS (
+                SELECT doc_id, lang, score FROM (
+                    SELECT doc_id, 'de' AS lang,
+                           len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','von','zu'))) AS score FROM toks
+                    UNION ALL
+                    SELECT doc_id, 'en',
+                           len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) FROM toks
+                    UNION ALL
+                    SELECT doc_id, 'es',
+                           len(list_filter(t, x -> x IN ('el','la','de','que','los','una','con','por','para','es'))) FROM toks
+                    UNION ALL
+                    SELECT doc_id, 'fr',
+                           len(list_filter(t, x -> x IN ('le','la','et','les','des','est','pas','une','dans','que'))) FROM toks
+                )
+            ),
+            best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+                FROM scores
+            )
+            SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+            FROM best WHERE rn = 1
+        """,
+        "feature_embed": """
+            SELECT doc_id,
+                   round(cos((n_chars % 10) / 9.0 * pi() / 2.0), 6) AS ord_cos,
+                   round(sin((n_chars % 10) / 9.0 * pi() / 2.0), 6) AS ord_sin,
+                   CASE WHEN n_chars % 2 = 0 THEN 1.0 ELSE 0.0 END AS bool_cos,
+                   CASE WHEN n_chars % 2 = 0 THEN 0.0 ELSE 1.0 END AS bool_sin
+            FROM documents
+        """,
+        # soundex_keys: rows-only (DuckDB has no soundex function)
     }

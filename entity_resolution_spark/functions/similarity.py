@@ -121,33 +121,38 @@ def tfidf_vectors(
     docs: DataFrame,
     id_col: str = "record_id",
     text_col: str = "text",
-    num_features: int = 1 << 18,
+    num_features: int | None = 1 << 18,
 ) -> DataFrame:
-    """(id, term_hash, tfidf_weight) long form, L2-normalized per document.
+    """(id, term_key, tfidf_weight) long form, L2-normalized per document.
 
     Smooth idf (ln((1+N)/(1+df)) + 1, sklearn convention).  All hash/agg
     DataFrame ops — no Python.  The long form keeps vectors sparse; pair
-    scoring is a join on term_hash.
+    scoring is a join on term_key.  ``num_features`` hashes terms into that
+    many buckets (the scale path: fixed-width ids, shorter join keys);
+    ``None`` keeps raw term strings (exact, and oracle-reproducible in SQL).
     """
     terms = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
-    tf = terms.groupBy(
-        "id", F.pmod(F.xxhash64("term"), F.lit(num_features)).alias("term_hash")
-    ).agg(F.count("*").alias("tf"))
+    key = (
+        F.pmod(F.xxhash64("term"), F.lit(num_features)).cast("string")
+        if num_features
+        else F.col("term")
+    )
+    tf = terms.groupBy("id", key.alias("term_key")).agg(F.count("*").alias("tf"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
-    df_tbl = tf.groupBy("term_hash").agg(F.countDistinct("id").alias("df"))
+    df_tbl = tf.groupBy("term_key").agg(F.countDistinct("id").alias("df"))
     idf = df_tbl.select(
-        "term_hash",
+        "term_key",
         (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)).alias("idf"),
     )
-    weighted = tf.join(idf, "term_hash").select(
-        "id", "term_hash", (F.col("tf") * F.col("idf")).alias("w")
+    weighted = tf.join(idf, "term_key").select(
+        "id", "term_key", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = weighted.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     return weighted.join(norms, "id").select(
-        "id", "term_hash", (F.col("w") / F.col("norm")).alias("w")
+        "id", "term_key", (F.col("w") / F.col("norm")).alias("w")
     )
 
 
@@ -158,12 +163,12 @@ def tfidf_cosine_pairs(
     id2: str = "id2",
 ) -> DataFrame:
     """Add ``tfidf_cosine`` to a pair table via sparse-vector join-aggregate."""
-    v1 = vectors.select(F.col("id").alias(id1), "term_hash", F.col("w").alias("w1"))
-    v2 = vectors.select(F.col("id").alias(id2), "term_hash", F.col("w").alias("w2"))
+    v1 = vectors.select(F.col("id").alias(id1), "term_key", F.col("w").alias("w1"))
+    v2 = vectors.select(F.col("id").alias(id2), "term_key", F.col("w").alias("w2"))
     dots = (
         pairs_df.select(id1, id2)
         .join(v1, id1)
-        .join(v2, [id2, "term_hash"])
+        .join(v2, [id2, "term_key"])
         .groupBy(id1, id2)
         .agg(F.sum(F.col("w1") * F.col("w2")).alias("tfidf_cosine"))
     )

@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All key computations are JVM-side expressions (md5/xxhash/bit ops); no Python
+in any hot path.  Every operator returns long-form DataFrames and follows the
+same shape: per-doc signature table → bucket join → candidate pairs →
+(optionally) exact re-check.
+
+* exact: hash-groupBy on the normalized-content fingerprint.
+* MinHash: per-doc min over token hashes for H seeded hash functions; LSH
+  banding (B bands × R rows) for candidate pairs; Jaccard estimate =
+  fraction of agreeing components.
+* SimHash: 64-bit signed-bit-sum sketch of token hashes; near-dup candidates
+  via Hamming distance ≤ k over band buckets (4×16-bit bands ⇒ guaranteed
+  recall for distance ≤ 3).
+* n-gram Jaccard: character-shingle (default 3-gram) exact Jaccard on
+  candidate pairs.
+* embedding near-dup: cosine ≥ threshold via SRP-LSH buckets + exact rerank
+  (reuses ``ann``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "").distinct()
+
+
+def _md5_long(col: Column) -> Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracle dialect."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct character n-grams — JVM-side via sequence+explode."""
+    s = F.col(text_col)
+    return (
+        docs.select(F.col(id_col).alias("id"), s.alias("_t"))
+        .select(
+            "id",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1)))
+            ).alias("pos"),
+        )
+        .select("id", F.substring(F.col("_t"), F.col("pos"), F.lit(n)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fp, dup_count, keep_doc_id) groups; dup_count>1 rows are duplicates."""
+    return (
+        docs.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle: int | None = None,
+) -> DataFrame:
+    """(id, h0..h{H-1}) MinHash over tokens (or char shingles if ``shingle``)."""
+    units = (
+        char_shingles(docs, id_col, text_col, shingle)
+        .withColumnRenamed("shingle", "tok")
+        if shingle
+        else _tokens(docs, id_col, text_col)
+    )
+    aggs = [
+        F.min(_md5_long(F.concat(F.lit(f"{i}_"), F.col("tok")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return units.groupBy("id").agg(*aggs).withColumnRenamed("id", id_col)
+
+
+def minhash_band_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding join → distinct candidate (id1, id2) pairs."""
+    banded = None
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = signatures.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *cols).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """Jaccard ≈ fraction of agreeing signature components per pair."""
+    s1 = signatures.select(
+        F.col(id_col).alias("id1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    s2 = signatures.select(
+        F.col(id_col).alias("id2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        pairs_df.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", (agree / F.lit(float(num_hashes))).alias("jaccard_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — per-bit signed sum of token hashes, sign → bit.
+
+    Pure JVM: token hash once, then per-bit ±1 contribution aggregated; the
+    64 per-bit sums reduce in one groupBy (map-side combinable).
+    """
+    tok = _tokens(docs, id_col, text_col).withColumn("h", F.xxhash64("tok"))
+    sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(2 ** b).cast("long")
+            if b < 63
+            # bit 63 would overflow 2^63 as a positive literal; use shiftleft
+            else F.shiftleft(
+                F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+                63,
+            )
+        )
+    return sums.select(F.col("id").alias(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidates via 4×16-bit band buckets (pigeonhole: any pair with
+    Hamming ≤ 3 agrees on ≥1 of 4 bands), then exact Hamming filter."""
+    bands = []
+    for b in range(4):
+        bands.append(
+            signatures.select(
+                F.col(id_col).alias("id"),
+                F.col("simhash"),
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard for the given candidate pairs."""
+    sh = char_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.select(F.col("id").alias("id1"), "shingle")
+    s2 = sh.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        pairs_df.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("isect"))
+    )
+    z1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    z2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    out = (
+        pairs_df.join(inter, ["id1", "id2"], "left")
+        .join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.coalesce("isect", F.lit(0))
+                / (F.col("n1") + F.col("n2") - F.coalesce("isect", F.lit(0)))
+            ).alias("ngram_jaccard"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("ngram_jaccard", F.round("ngram_jaccard", round_to))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold: SRP-LSH buckets → exact cosine filter."""
+    from ..functions.similarity import cosine
+    from .ann import _srp_signature
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    sig_cols = [
+        _srp_signature(F.col(vec_col), dim, n_planes, t).alias(f"sig{t}")
+        for t in range(n_tables)
+    ]
+    s = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *sig_cols)
+    banded = None
+    for t in range(n_tables):
+        part = s.select("id", "v", F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bucket"))
+        banded = part if banded is None else banded.unionByName(part)
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(r, ["tbl", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.col("l.v").alias("v1"),
+            F.col("r.v").alias("v2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,98 @@
+"""Dedup operator family: exact, minhash, simhash, n-gram jaccard, embedding."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark, [(1, "A  b"), (2, "a b"), (3, "c")])
+    got = {r["keep_doc_id"]: r["dup_count"] for r in dedup.exact_dedup(d).collect()}
+    assert got == {1: 2, 3: 1}  # whitespace+case-normalized dup collapsed
+
+
+def test_char_shingles(spark):
+    d = _docs(spark, [(1, "abcd")])
+    got = sorted(r["shingle"] for r in dedup.char_shingles(d, "doc_id", "text").collect())
+    assert got == ["abc", "bcd"]
+
+
+def test_minhash_identical_docs_agree(spark):
+    d = _docs(spark, [(1, "x y z w"), (2, "x y z w"), (3, "p q r s")])
+    sig = dedup.minhash_signatures(d)
+    rows = {r["doc_id"]: [r[f"h{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    pairs = {(r["id1"], r["id2"]) for r in dedup.minhash_band_pairs(sig).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    est = dedup.minhash_jaccard_estimate(
+        sig, spark.createDataFrame([(1, 2), (1, 3)], ["id1", "id2"])
+    )
+    got = {(r["id1"], r["id2"]): r["jaccard_est"] for r in est.collect()}
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] < 0.5
+
+
+def test_minhash_estimates_jaccard(spark):
+    # two docs sharing half their tokens -> estimate near 1/3 (|A∩B|/|A∪B|)
+    a = " ".join(f"t{i}" for i in range(50))
+    b = " ".join(f"t{i}" for i in range(25, 75))
+    d = _docs(spark, [(1, a), (2, b)])
+    sig = dedup.minhash_signatures(d, num_hashes=8)
+    est = dedup.minhash_jaccard_estimate(
+        sig, spark.createDataFrame([(1, 2)], ["id1", "id2"])
+    ).collect()[0]["jaccard_est"]
+    assert 0.0 < est < 0.8  # true jaccard = 25/75 = 1/3; 8 hashes is coarse
+
+
+def test_simhash_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w3 ", "w3x ")  # one token changed
+    far = " ".join(f"z{i}" for i in range(60))
+    d = _docs(spark, [(1, base), (2, near), (3, far), (4, base)])
+    sig = dedup.simhash_signatures(d)
+    rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert rows[1] == rows[4]
+    h12 = bin(rows[1] ^ rows[2]).count("1")
+    h13 = bin((rows[1] ^ rows[3]) & ((1 << 64) - 1)).count("1")
+    assert h12 < h13
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in dedup.simhash_near_pairs(sig, max_hamming=8).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    d = _docs(spark, [(1, "abcd"), (2, "abcd"), (3, "wxyz")])
+    pairs_df = spark.createDataFrame([(1, 2), (1, 3)], ["id1", "id2"])
+    got = {
+        (r["id1"], r["id2"]): r["ngram_jaccard"]
+        for r in dedup.ngram_jaccard_pairs(d, pairs_df).collect()
+    }
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 0.0
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(10):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # plant a near-dup pair (ids 100, 101)
+    v = base / np.linalg.norm(base)
+    rows.append((100, [float(x) for x in v]))
+    w = base + rng.normal(scale=0.01, size=16)
+    w = w / np.linalg.norm(w)
+    rows.append((101, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert (100, 101) in got and got[(100, 101)] > 0.99
