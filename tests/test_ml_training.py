@@ -1,0 +1,129 @@
+"""Encoder training (numpy backprop), ward clustering, weight optimization."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from entity_resolution_spark.ml import encoder as E
+from entity_resolution_spark.ml.hierarchical import ward_labels
+from entity_resolution_spark.ml.optimize import optimize_weights
+from entity_resolution_spark.ml.train import _forward_cached, train_triplets
+
+
+def _triplet_data(n=96, seed=0):
+    """Two latent 'models': anchors/positives from one, negatives from the other."""
+    rng = np.random.default_rng(seed)
+
+    def sample(center, k):
+        base = np.zeros((k, 8))
+        base[:, :] = center
+        return base + rng.normal(0, 0.05, size=(k, 8))
+
+    c1 = np.array([0.9, 0.1, 0.2, 0.3, 1.0, 0.0, 0.5, 0.8])
+    c2 = np.array([0.1, 0.9, 0.8, -0.3, 0.0, 1.0, 0.9, 0.2])
+    return sample(c1, n), sample(c1, n), sample(c2, n)
+
+
+def test_gradient_check():
+    """Finite-difference check of the hand-derived backprop."""
+    rng = np.random.default_rng(3)
+    w = E.init_weights(seed=1)
+    X1, X2 = rng.normal(size=(4, 8)), rng.normal(size=(4, 8))
+    y = np.array([0.0, 1.0, 0.0, 1.0])
+    margin = 2.0
+
+    def loss_fn(wd):
+        from entity_resolution_spark.ml.train import _forward_cached
+
+        e1, _ = _forward_cached(wd, X1)
+        e2, _ = _forward_cached(wd, X2)
+        d = np.linalg.norm(e1 - e2, axis=1)
+        clamp = np.maximum(margin - d, 0)
+        return float(np.mean(0.5 * ((1 - y) * d**2 + y * clamp**2)))
+
+    # analytic grads
+    from entity_resolution_spark.ml.train import _backward
+
+    e1, c1 = _forward_cached(w, X1)
+    e2, c2 = _forward_cached(w, X2)
+    diff = e1 - e2
+    d = np.linalg.norm(diff, axis=1)
+    clamp = np.maximum(margin - d, 0)
+    dL_dd = ((1 - y) * d - y * clamp) / len(y)
+    grad_e1 = (dL_dd / np.where(d == 0, 1, d))[:, None] * diff
+    grads = {k: np.zeros_like(v) for k, v in w.items()}
+    _backward(w, c1, grad_e1, grads)
+    _backward(w, c2, -grad_e1, grads)
+
+    for key in ["head_w2", "quality_w1", "head_b1"]:
+        g = grads[key]
+        idx = (0,) if g.ndim == 1 else (0, 0)
+        h = 1e-5
+        wp = {k: v.copy() for k, v in w.items()}
+        wp[key][idx] += h
+        wm = {k: v.copy() for k, v in w.items()}
+        wm[key][idx] -= h
+        num = (loss_fn(wp) - loss_fn(wm)) / (2 * h)
+        assert abs(num - g[idx]) < 1e-4, f"{key}: {num} vs {g[idx]}"
+
+
+def test_training_separates_models():
+    Xa, Xp, Xn = _triplet_data()
+    res = train_triplets(Xa, Xp, Xn, epochs=60, lr=3e-3, seed=42)
+    e_a, _ = _forward_cached(res.weights, Xa)
+    e_p, _ = _forward_cached(res.weights, Xp)
+    e_n, _ = _forward_cached(res.weights, Xn)
+    d_ap = np.linalg.norm(e_a - e_p, axis=1).mean()
+    d_an = np.linalg.norm(e_a - e_n, axis=1).mean()
+    assert d_ap < 0.5, d_ap
+    assert d_an > 1.5, d_an          # pushed toward the margin (2.0)
+    # E5: threshold accuracy at sim = clamp(1 - d/2, 0, 1) >= 0.7
+    sim_ap = np.clip(1 - np.linalg.norm(e_a - e_p, axis=1) / 2, 0, 1)
+    sim_an = np.clip(1 - np.linalg.norm(e_a - e_n, axis=1) / 2, 0, 1)
+    assert (sim_ap >= 0.7).mean() > 0.95
+    assert (sim_an < 0.7).mean() > 0.95
+    # loss decreased and training is deterministic
+    assert res.history[-1] < res.history[0]
+    res2 = train_triplets(Xa, Xp, Xn, epochs=60, lr=3e-3, seed=42)
+    assert res.best_loss == res2.best_loss
+
+
+def test_trained_embeddings_ward_cluster_two_models():
+    """Mirrors the reference's 10-record test: 2 piano models → 2 clusters."""
+    Xa, Xp, Xn = _triplet_data()
+    res = train_triplets(Xa, Xp, Xn, epochs=60, lr=3e-3, seed=42)
+    test_X = np.concatenate([Xa[:5], Xn[:5]])
+    emb, _ = _forward_cached(res.weights, test_X)
+    labels = ward_labels(emb, distance_threshold=0.2)
+    assert len(set(labels)) == 2
+    assert len(set(labels[:5])) == 1 and len(set(labels[5:])) == 1
+
+
+def test_ward_basic():
+    X = np.vstack([np.zeros((4, 3)), np.ones((4, 3))])
+    labels = ward_labels(X, distance_threshold=0.5)
+    assert len(set(labels)) == 2
+
+
+def test_optimize_weights_deterministic_and_improves():
+    target = np.array([0.3, 0.7, 0.5])
+
+    def obj(w):
+        return float(((np.asarray(w) - target) ** 2).sum())
+
+    w1, v1, hist = optimize_weights(obj, n_weights=3, n_calls=60, early_stop_value=None)
+    w2, v2, _ = optimize_weights(obj, n_weights=3, n_calls=60, early_stop_value=None)
+    assert np.allclose(w1, w2) and v1 == v2
+    assert v1 < obj([0.5, 0.5, 0.5])
+    assert v1 < hist[0][1] or v1 <= min(h[1] for h in hist)
+
+
+def test_optimize_weights_early_stop():
+    calls = []
+
+    def obj(w):
+        calls.append(1)
+        return -2.0  # immediately below early_stop_value=-1
+
+    optimize_weights(obj, n_weights=2, n_calls=50, early_stop_value=-1.0)
+    assert len(calls) == 1
