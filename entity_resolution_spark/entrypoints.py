@@ -443,6 +443,44 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only 
     return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5, round_to=4)
 
 
+def _emb_pairs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled scored pairs: cosine(embedding) over vec_id<50 pairs, label =
+    same class; cosine rounded to 6dp BEFORE any ranking so Spark and the
+    oracle rank identical values."""
+    from .functions.similarity import cosine
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 50)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"), F.col("label").alias("l1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"), F.col("label").alias("l2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("score"),
+            (F.col("l1") == F.col("l2")).alias("is_match"),
+        )
+    )
+
+
+def q_pair_auroc(spark: SparkSession, sf_dir: str) -> DataFrame:  # E5 AUROC
+    from .operators import evaluate
+
+    return evaluate.auroc(_emb_pairs_scored(spark, sf_dir))
+
+
+def q_pair_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:  # E5
+    from .operators import evaluate
+
+    return evaluate.threshold_metrics(_emb_pairs_scored(spark, sf_dir), threshold=0.5)
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:  # F8
+    from .functions.features import iqr_outlier_report
+
+    return iqr_outlier_report(_events(spark, sf_dir), ["value"])
+
+
 def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1
     from .functions.blocking_keys import soundex_key
 
@@ -489,6 +527,9 @@ def _raw_queries() -> dict[str, QueryFn]:
         "encoder_embeddings": q_encoder_embeddings,
         "ann_lsh_topk": q_ann_lsh_topk,
         "soundex_keys": q_soundex_keys,
+        "pair_auroc": q_pair_auroc,
+        "pair_threshold_metrics": q_pair_threshold_metrics,
+        "iqr_outliers": q_iqr_outliers,
     }
 
 
@@ -786,4 +827,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # soundex_keys: rows-only (DuckDB has no soundex function)
+        "iqr_outliers": """
+            WITH q AS (
+                SELECT quantile_cont(value, 0.15) AS lo_q, quantile_cont(value, 0.85) AS hi_q
+                FROM events
+            ),
+            b AS (SELECT lo_q - 1.5 * (hi_q - lo_q) AS lo, hi_q + 1.5 * (hi_q - lo_q) AS hi FROM q)
+            SELECT 'value' AS feature,
+                   round(lo, 6) AS lower_bound,
+                   round(hi, 6) AS upper_bound,
+                   (SELECT count(*) FROM events, b WHERE value < lo OR value > hi)::bigint AS n_outliers
+            FROM b
+        """,
+        "pair_auroc": """
+            WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+            sp AS (
+                SELECT round(
+                         list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS s,
+                       (a.label = b.label)::int AS y
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ),
+            ranked AS (
+                SELECT y,
+                       rank() OVER (ORDER BY s) + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS r
+                FROM sp
+            )
+            SELECT round(
+                     (sum(r * y) - sum(y) * (sum(y) + 1) / 2.0)
+                     / greatest(sum(y) * sum(1 - y), 1), 6) AS auroc
+            FROM ranked
+        """,
+        "pair_threshold_metrics": """
+            WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+            sp AS (
+                SELECT round(
+                         list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS s,
+                       (a.label = b.label)::int AS y
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ),
+            c AS (
+                SELECT sum((s >= 0.5)::int * y) AS tp,
+                       sum((s >= 0.5)::int * (1 - y)) AS fp,
+                       sum((s < 0.5)::int * y) AS fn,
+                       sum((s < 0.5)::int * (1 - y)) AS tn
+                FROM sp
+            )
+            SELECT tp::bigint AS tp, fp::bigint AS fp, fn::bigint AS fn, tn::bigint AS tn,
+                   round(tp / greatest(tp + fp, 1), 6) AS precision,
+                   round(tp / greatest(tp + fn, 1), 6) AS recall,
+                   round((tp + tn) / greatest(tp + fp + fn + tn, 1), 6) AS accuracy
+            FROM c
+        """,
     }

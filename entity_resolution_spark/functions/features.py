@@ -78,6 +78,34 @@ def keyed_noise(id_col: Column, scale: float = 0.05, seed: int = 42) -> Column:
     return ih * F.lit(scale * math.sqrt(3.0))
 
 
+def iqr_outlier_report(
+    df: DataFrame,
+    cols: list[str],
+    lower_q: float = 0.15,
+    upper_q: float = 0.85,
+    k: float = 1.5,
+) -> DataFrame:
+    """F8: IQR outlier *report* — bounds + counts, no filtering (the reference
+    logs and ignores: ``feature_engineering.py:141-142,170-193``).
+
+    Exact interpolated percentiles (``F.percentile``) so the SQL oracle
+    (quantile_cont) reproduces the numbers; one aggregation per column batch.
+    """
+    rows = []
+    for c in cols:
+        q = df.agg(
+            F.percentile(F.col(c), F.lit(lower_q)).alias("lo_q"),
+            F.percentile(F.col(c), F.lit(upper_q)).alias("hi_q"),
+        ).collect()[0]
+        iqr = q["hi_q"] - q["lo_q"]
+        lo, hi = q["lo_q"] - k * iqr, q["hi_q"] + k * iqr
+        n_out = df.where((F.col(c) < lo) | (F.col(c) > hi)).count()
+        rows.append((c, float(round(lo, 6)), float(round(hi, 6)), int(n_out)))
+    return df.sparkSession.createDataFrame(
+        rows, "feature string, lower_bound double, upper_bound double, n_outliers long"
+    )
+
+
 @dataclass(frozen=True)
 class FeatureSpec:
     """Declarative feature plan for the KLSH stage (mirrors the reference's

@@ -1,0 +1,74 @@
+"""E5 threshold metrics + AUROC, two-stage blocking, pipeline determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators import blocking, evaluate
+from entity_resolution_spark.operators.blocking import BlockingStage
+from entity_resolution_spark.plans import pipeline
+from entity_resolution_spark.sources.synthetic import make_pages
+
+
+def test_threshold_metrics(spark):
+    rows = [(0.9, True), (0.8, True), (0.6, True), (0.75, False), (0.1, False)]
+    df = spark.createDataFrame(rows, ["score", "is_match"])
+    m = evaluate.threshold_metrics(df, threshold=0.7).collect()[0]
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (2, 1, 1, 1)
+    assert m["precision"] == round(2 / 3, 6)
+    assert m["recall"] == round(2 / 3, 6)
+    assert m["accuracy"] == 0.6
+
+
+def test_auroc_perfect_and_random(spark):
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)], ["score", "is_match"]
+    )
+    assert evaluate.auroc(perfect).collect()[0]["auroc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, True), (0.2, True), (0.8, False), (0.9, False)], ["score", "is_match"]
+    )
+    assert evaluate.auroc(inverted).collect()[0]["auroc"] == 0.0
+    ties = spark.createDataFrame(
+        [(0.5, True), (0.5, False)], ["score", "is_match"]
+    )
+    assert evaluate.auroc(ties).collect()[0]["auroc"] == 0.5
+
+
+def test_two_stage_blocking_composite_keys(spark):
+    # stage 1 on title, stage 2 on a date column: child blocks only group
+    # records that share a stage-1 key AND a stage-2 key (hierarchical B6)
+    import datetime
+
+    rows = [
+        (1, "Apollo", datetime.date(2020, 5, 1)),
+        (2, "Apollo", datetime.date(2020, 5, 1)),
+        (3, "Apollo", datetime.date(1999, 1, 7)),
+        (4, "Baldwin", datetime.date(2020, 5, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["record_id", "title", "d"])
+    blocks = blocking.block(
+        df,
+        [BlockingStage("title", "phonetic_combination"), BlockingStage("d", "two_of_three_date")],
+    )
+    from entity_resolution_spark.operators import pairs as P
+
+    got = {
+        (r["id1"], r["id2"]): r["weight"] for r in P.edge_weights(blocks).collect()
+    }
+    # records 1,2 share title keys x date keys; 3 shares only title stage-1
+    # (different date -> different composite); 4 shares nothing
+    assert got and all(k == (1, 2) for k in got)
+    assert got[(1, 2)] == 5 * 3  # 5 phonetic keys x 3 date keys
+
+
+def test_pipeline_deterministic_across_partitioning(spark):
+    corpus = make_pages(n_entities=40, hot_key_rows=10)
+    pages = spark.createDataFrame(corpus.pages)
+    a1 = sorted(
+        map(tuple, pipeline.resolve(pages.repartition(1)).select("url", "component_id").collect())
+    )
+    a16 = sorted(
+        map(tuple, pipeline.resolve(pages.repartition(16)).select("url", "component_id").collect())
+    )
+    assert a1 == a16
