@@ -227,26 +227,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedu
 
 def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 4 bands × 2 rows; pairs agreeing on ≥1 band."""
+    from .operators import dedup
+
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(4):
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("_", f"h{2*b}", f"h{2*b+1}").alias("bucket"),
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.union(b)
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
-        .distinct()
-    )
+    return dedup.minhash_band_pairs(sig, id_col="doc_id")
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:  # text analysis

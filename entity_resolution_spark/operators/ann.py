@@ -127,21 +127,31 @@ def lsh_topk(
     """Approximate top-k: SRP-LSH candidate generation + exact rerank."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    sig_cols = [
-        _srp_signature(F.col(vec_col), dim, n_planes, t).alias(f"sig{t}")
-        for t in range(n_tables)
-    ]
-    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), *sig_cols)
-    cs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), *sig_cols)
-    cands = None
-    for t in range(n_tables):
-        q_t = qs.select("query_id", "qv", F.col(f"sig{t}").alias("bucket"), F.lit(t).alias("tbl"))
-        c_t = cs.select("neighbor_id", "cv", F.col(f"sig{t}").alias("bucket"), F.lit(t).alias("tbl"))
-        j = q_t.join(c_t, ["tbl", "bucket"]).where(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.select("query_id", "neighbor_id", "qv", "cv").distinct()
+    # one exploded (tbl, bucket) struct array per row: a single pass over the
+    # signature computation instead of one union branch per table
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _srp_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(band_structs).alias("bb"),
+    ).select("query_id", "qv", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket"))
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.explode(band_structs).alias("bb"),
+    ).select("neighbor_id", "cv", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket"))
+    cands = (
+        qs.join(cs, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+    )
     sims = cands.select(
         "query_id",
         "neighbor_id",

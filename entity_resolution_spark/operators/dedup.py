@@ -104,16 +104,27 @@ def minhash_band_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """LSH banding join → distinct candidate (id1, id2) pairs."""
-    banded = None
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = signatures.select(
-            F.col(id_col).alias("id"),
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *cols).alias("bucket"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    """LSH banding join → distinct candidate (id1, id2) pairs.
+
+    Banding is a single ``explode`` of (band, bucket) structs from one
+    signature row — one pass over the signature aggregation instead of one
+    union branch per band (a per-band union re-evaluates the upstream
+    signature subplan ``bands``× per join side).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, ["band", "bucket"])
@@ -190,19 +201,18 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Candidates via 4×16-bit band buckets (pigeonhole: any pair with
     Hamming ≤ 3 agrees on ≥1 of 4 bands), then exact Hamming filter."""
-    bands = []
-    for b in range(4):
-        bands.append(
-            signatures.select(
-                F.col(id_col).alias("id"),
-                F.col("simhash"),
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
                 F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+            for b in range(4)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col).alias("id"), F.col("simhash"), F.explode(band_structs).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, ["band", "bucket"])
@@ -277,15 +287,19 @@ def embedding_near_dup_pairs(
     from .ann import _srp_signature
 
     dim = len(embeddings.select(vec_col).first()[0])
-    sig_cols = [
-        _srp_signature(F.col(vec_col), dim, n_planes, t).alias(f"sig{t}")
-        for t in range(n_tables)
-    ]
-    s = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *sig_cols)
-    banded = None
-    for t in range(n_tables):
-        part = s.select("id", "v", F.lit(t).alias("tbl"), F.col(f"sig{t}").alias("bucket"))
-        banded = part if banded is None else banded.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _srp_signature(F.col(vec_col), dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode(band_structs).alias("bb"),
+    ).select("id", "v", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket"))
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(r, ["tbl", "bucket"])
