@@ -71,6 +71,71 @@ def streaming_block_sizes(
     )
 
 
+PAIR_SCHEMA = "block_key string, id1 long, id2 long"
+_BLOCK_STATE_SCHEMA = "members array<long>"
+
+
+def _incremental_pairs_fn(key, pdfs, state: "GroupState"):
+    """Per-block state = member ids seen so far (capped); each arriving record
+    emits candidate pairs against the existing members — the streaming analog
+    of the batch block-local self-join (G2), with the block-size cap doubling
+    as the state bound (hot keys stop emitting once capped, exactly like
+    batch block purging)."""
+    import pandas as pd
+
+    (block_key,) = key
+    cap = 1000
+    members: list[int] = list(state.get[0]) if state.exists else []
+    seen = set(members)
+    out1, out2 = [], []
+    for pdf in pdfs:
+        for rid in pdf["record_id"]:
+            rid = int(rid)
+            if rid in seen or len(members) >= cap:
+                continue
+            for m in members:
+                out1.append(min(m, rid))
+                out2.append(max(m, rid))
+            members.append(rid)
+            seen.add(rid)
+    state.update((members,))
+    if out1:
+        yield pd.DataFrame(
+            {"block_key": [block_key] * len(out1), "id1": out1, "id2": out2}
+        )
+
+
+def incremental_candidate_pairs(pages: DataFrame, watermark: str = "1 hour",
+                                ts_col: str = "warc_ts") -> DataFrame:
+    """Streaming candidate pairs: new page → block keys → pairs vs the
+    block's previously-seen members (stateful, bounded per-block state)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.blocking_keys import phonetic_combination
+
+    keyed = (
+        pages.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withColumn("record_id", F.xxhash64("url"))
+        .withColumn("title", T.title_of(F.col("text")))
+        .select(
+            ts_col,
+            "record_id",
+            F.explode(phonetic_combination(F.col("title"))).alias("block_key"),
+        )
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .groupBy("block_key")
+        .applyInPandasWithState(
+            _incremental_pairs_fn,
+            outputStructType=PAIR_SCHEMA,
+            stateStructType=_BLOCK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
 _STATE_SCHEMA = "start long, last long, n int"
 

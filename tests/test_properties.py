@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for pure functions + randomized
+Spark-vs-oracle comparisons for the distributed operators."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_resolution_spark.functions.similarity import jaro_winkler_py
+from entity_resolution_spark.functions.text import extract_text_py
+from entity_resolution_spark.ml.kmeans import kmeans_fit_predict
+
+words = st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüß ", min_size=0, max_size=20)
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_properties(a, b):
+    s = jaro_winkler_py(a, b)
+    assert 0.0 <= s <= 1.0
+    assert jaro_winkler_py(b, a) == s            # symmetric
+    assert jaro_winkler_py(a, a) == 1.0 or a == ""
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_extract_text_total_and_deterministic(data):
+    # never raises, always returns a string, pure function of the bytes
+    out1 = extract_text_py(data)
+    out2 = extract_text_py(data)
+    assert isinstance(out1, str) and out1 == out2
+    assert "\n" in out1
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_union_find_oracle_properties(edges):
+    """The pandas-oracle union-find used in parity tests is itself verified:
+    same-component iff connected (BFS ground truth)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from pandas_oracle import components_py
+
+    nodes = sorted({v for e in edges for v in e} | {99})
+    comp = components_py(nodes, edges)
+    # BFS ground truth
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def reachable(s):
+        seen, stack = {s}, [s]
+        while stack:
+            for nb in adj[stack.pop()]:
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        return seen
+
+    for n in nodes:
+        r = reachable(n)
+        assert comp[n] == min(r)
+
+
+@given(
+    st.integers(2, 5),
+    st.integers(10, 40),
+    st.integers(0, 10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_kmeans_properties(k, n, seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 3))
+    labels, inertia = kmeans_fit_predict(X, k)
+    assert len(labels) == n
+    assert inertia >= 0
+    assert set(labels) <= set(range(min(k, n)))
+    # labels are first-appearance ordered: label of row 0 is always 0
+    assert labels[0] == 0
+
+
+def test_spark_cc_vs_union_find_randomized(spark):
+    """5 random graphs: large/small-star CC == union-find oracle."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from pandas_oracle import components_py
+
+    from entity_resolution_spark.operators import components
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        n = int(rng.integers(5, 60))
+        m = int(rng.integers(0, 3 * n))
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        vertices = list(range(n))
+        exp = components_py(vertices, edges)
+        v = spark.createDataFrame([(x,) for x in vertices], ["record_id"])
+        if edges:
+            e = spark.createDataFrame(edges, ["src", "dst"])
+        else:
+            e = spark.createDataFrame([], "src long, dst long")
+        got = {
+            r["record_id"]: r["component_id"]
+            for r in components.assign_components(v, e).collect()
+        }
+        assert got == exp, f"trial {trial}: mismatch"

@@ -127,3 +127,32 @@ def test_streaming_block_sizes(spark, tmp_path):
     n = spark.sql(f"select count(*) c from {name}").collect()[0]["c"]
     assert n > 0
     q.stop()
+
+
+def test_incremental_candidate_pairs_match_batch(spark, tmp_path):
+    """Streaming stateful pair generation == batch block-local self-join."""
+    from entity_resolution_spark.operators import blocking, pairs as P
+    from entity_resolution_spark.operators.blocking import BlockingStage
+    from entity_resolution_spark.plans import pipeline
+    from entity_resolution_spark.sources.synthetic import make_pages
+
+    corpus = make_pages(n_entities=15)
+    d = tmp_path / "incr_stream"
+    spark.createDataFrame(corpus.pages).write.parquet(str(d))
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    name = f"ip_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(stream_ops.incremental_candidate_pairs(stream), name)
+    got = {
+        (r["id1"], r["id2"])
+        for r in spark.sql(f"select distinct id1, id2 from {name}").collect()
+    }
+    batch_pages = spark.createDataFrame(corpus.pages)
+    recs = pipeline.extract(batch_pages).select("record_id", "title")
+    blocks = blocking.block(recs, [BlockingStage("title", "phonetic_combination")])
+    exp = {
+        (r["id1"], r["id2"])
+        for r in P.candidate_pairs(blocks, distinct=True).collect()
+    }
+    assert got == exp
+    q.stop()
