@@ -73,6 +73,22 @@ def _title(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _par(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
+def _edges(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """Shared meta-blocked edge table with pair generation spread over all
+    cores (testdata parquet arrives in 1 partition; without the explicit
+    repartition the quadratic self-join runs in one task)."""
+    return pairs.edge_weights(
+        _blocks(spark, sf_dir),
+        left_partitions=2 * _par(spark),
+        broadcast_blocks=True,
+        **kw,
+    )
+
+
 def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(record_id, block_key) long form from the reference blocking rule."""
     return (
@@ -140,26 +156,30 @@ def q_block_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:  # G1
 
 
 def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:  # G2
-    return pairs.candidate_pairs(_blocks(spark, sf_dir), distinct=True)
+    return pairs.candidate_pairs(
+        _blocks(spark, sf_dir),
+        distinct=True,
+        left_partitions=2 * _par(spark),
+        broadcast_blocks=True,
+    )
 
 
 def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:  # G3
-    return pairs.edge_weights(_blocks(spark, sf_dir))
+    return _edges(spark, sf_dir)
 
 
 def q_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:  # G4
-    return pairs.edge_weights(_blocks(spark, sf_dir), with_provenance=True).select(
+    return _edges(spark, sf_dir, with_provenance=True).select(
         "id1", "id2", F.array_join("provenance", ",").alias("provenance")
     )
 
 
 def q_pruned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:  # G5
-    return pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir)))
+    return pairs.prune(_edges(spark, sf_dir))
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:  # G6
-    blocks = _blocks(spark, sf_dir)
-    pruned = pairs.prune(pairs.edge_weights(blocks))
+    pruned = pairs.prune(_edges(spark, sf_dir))
     docs = _doc(spark, sf_dir).select(F.col("doc_id").alias("record_id"))
     return components.assign_components(
         docs, pruned.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
@@ -188,7 +208,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: exac
 def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: jaccard
     tok = _tokens(spark, sf_dir)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    edges = pairs.prune(_edges(spark, sf_dir)).select("id1", "id2")
     t1 = tok.select(F.col("doc_id").alias("id1"), "tok")
     t2 = tok.select(F.col("doc_id").alias("id2"), "tok")
     inter = (
@@ -298,7 +318,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # ANN base
 
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:  # F11
     t = _title(spark, sf_dir)
-    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    edges = pairs.prune(_edges(spark, sf_dir)).select("id1", "id2")
     t1 = t.select(F.col("doc_id").alias("id1"), F.col("title").alias("title1"))
     t2 = t.select(F.col("doc_id").alias("id2"), F.col("title").alias("title2"))
     return (
@@ -322,7 +342,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: ch
     from .operators import dedup
 
     docs = _doc(spark, sf_dir)
-    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    edges = pairs.prune(_edges(spark, sf_dir)).select("id1", "id2")
     return dedup.ngram_jaccard_pairs(docs, edges)
 
 
@@ -330,7 +350,7 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     sig = q_minhash_signatures(spark, sf_dir)
-    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    edges = pairs.prune(_edges(spark, sf_dir)).select("id1", "id2")
     return dedup.minhash_jaccard_estimate(sig, edges)
 
 
@@ -346,7 +366,7 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _doc(spark, sf_dir).select(F.col("doc_id").alias("record_id"), "text")
     vectors = S.tfidf_vectors(docs, num_features=None)  # term-keyed (oracle parity)
-    edges = pairs.prune(pairs.edge_weights(_blocks(spark, sf_dir))).select("id1", "id2")
+    edges = pairs.prune(_edges(spark, sf_dir)).select("id1", "id2")
     return S.tfidf_cosine_pairs(edges, vectors).withColumn(
         "tfidf_cosine", F.round("tfidf_cosine", 6)
     )

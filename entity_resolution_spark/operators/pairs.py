@@ -114,17 +114,28 @@ def edge_weights(
     blocks: DataFrame,
     with_provenance: bool = False,
     salt_buckets: int | None = None,
+    left_partitions: int | None = None,
+    broadcast_blocks: bool = False,
 ) -> DataFrame:
     """Meta-blocking: (id1, id2, weight[, provenance]).
 
     weight = # distinct blocks the pair shares.  ``block_key`` is already
     distinct per (record, key) upstream, so a plain count is the distinct-block
     count — no ``count_distinct`` shuffle-heavy path needed.
+
+    ``left_partitions``/``broadcast_blocks`` forward to ``candidate_pairs``
+    (spread the quadratic pair generation over all cores when the upstream
+    scan arrives in few partitions).
     """
     pairs = (
         candidate_pairs_salted(blocks, salt_buckets)
         if salt_buckets
-        else candidate_pairs(blocks, distinct=False)
+        else candidate_pairs(
+            blocks,
+            distinct=False,
+            left_partitions=left_partitions,
+            broadcast_blocks=broadcast_blocks,
+        )
     )
     aggs = [F.count("*").alias("weight")]
     if with_provenance:
