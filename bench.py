@@ -37,6 +37,11 @@ HEADLINE = [
     "topk_per_group",
     "windowed_event_counts",
     "embedding_topk",
+    "tfidf_cosine",
+    "ngram_jaccard",
+    "simhash_near_pairs",
+    "pair_auroc",
+    "exact_dedup",
 ]
 
 

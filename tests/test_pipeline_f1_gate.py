@@ -62,3 +62,16 @@ def test_extraction_deterministic_across_parallelism(spark):
         .collect()[0][0]
     )
     assert h1 == h8
+
+
+def test_resolve_empty_and_single_row(spark):
+    import pandas as pd
+
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    assert pipeline.resolve(empty).count() == 0
+    one = make_pages(n_entities=1, max_cluster=1)
+    single = spark.createDataFrame(one.pages.iloc[[0]])
+    rows = pipeline.resolve(single).collect()
+    assert len(rows) == 1 and rows[0]["component_id"] == rows[0]["record_id"]
