@@ -479,6 +479,26 @@ def q_pair_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:  # 
     return evaluate.threshold_metrics(_emb_pairs_scored(spark, sf_dir), threshold=0.5)
 
 
+def q_hash_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:  # B7
+    from .functions.blocking_keys import hash_date_features
+
+    my, dy, dm = hash_date_features(F.col("ts"))
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.round(my, 6).alias("my_feat"),
+        F.round(dy, 6).alias("dy_feat"),
+        F.round(dm, 6).alias("dm_feat"),
+    )
+
+
+def q_metaphone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1 (rows-only)
+    from .functions.blocking_keys import metaphone_udf
+
+    return _title(spark, sf_dir).select(
+        "doc_id", metaphone_udf(F.col("title")).alias("metaphone")
+    )
+
+
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:  # F8
     from .functions.features import iqr_outlier_report
 
@@ -534,6 +554,8 @@ def _raw_queries() -> dict[str, QueryFn]:
         "pair_auroc": q_pair_auroc,
         "pair_threshold_metrics": q_pair_threshold_metrics,
         "iqr_outliers": q_iqr_outliers,
+        "hash_date_features": q_hash_date_features,
+        "metaphone_keys": q_metaphone_keys,
     }
 
 
@@ -831,6 +853,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # soundex_keys: rows-only (DuckDB has no soundex function)
+        "hash_date_features": """
+            SELECT event_id,
+                round((('0x' || substr(md5('seed42_' || strftime(ts, '%m') || '_' || strftime(ts, '%Y')), 1, 15))::bigint % 1000) / 1000.0, 6) AS my_feat,
+                round((('0x' || substr(md5('seed42_' || strftime(ts, '%d') || '_' || strftime(ts, '%Y')), 1, 15))::bigint % 1000) / 1000.0, 6) AS dy_feat,
+                round((('0x' || substr(md5('seed42_' || strftime(ts, '%d') || '_' || strftime(ts, '%m')), 1, 15))::bigint % 1000) / 1000.0, 6) AS dm_feat
+            FROM events
+        """,
         "iqr_outliers": """
             WITH q AS (
                 SELECT quantile_cont(value, 0.15) AS lo_q, quantile_cont(value, 0.85) AS hi_q

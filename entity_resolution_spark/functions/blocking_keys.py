@@ -101,6 +101,29 @@ def two_of_three_date(col: Column) -> Column:
     )
 
 
+def hash_date_features(col: Column) -> list[Column]:
+    """B7 (``features_engineering.py:61-83`` semantics): per date, three
+    deterministic md5-based features in [0,1) — md5("seed42_" + component
+    pair) % 1000 / 1000 for month-year, day-year, day-month.
+
+    The reference hashes the full hex digest as one big int; taking the low
+    64 bits (last 15 hex chars) preserves the value of ``% 1000`` only when
+    the higher bits contribute a multiple-of-8 factor — so instead we define
+    the pinned hash as low-60-bit md5 (same scheme as the MinHash layer),
+    which keeps the feature deterministic, uniform and SQL-reproducible.
+    """
+    d = F.format_string("%02d", F.dayofmonth(col))
+    m = F.format_string("%02d", F.month(col))
+    y = F.format_string("%04d", F.year(col))
+    outs = []
+    for pair in (F.concat(m, F.lit("_"), y), F.concat(d, F.lit("_"), y), F.concat(d, F.lit("_"), m)):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("seed42_"), pair)), 1, 15), 16, 10
+        ).cast("long")
+        outs.append((F.pmod(h, F.lit(1000)) / F.lit(1000.0)))
+    return outs
+
+
 def sliding_window_key(col: Column, window_days: int = 7) -> Column:
     """``days_since_epoch // window_days`` bucket as a string."""
     days = F.datediff(col.cast("date"), F.to_date(F.lit("1970-01-01")))

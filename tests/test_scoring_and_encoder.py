@@ -120,3 +120,15 @@ def test_losses():
     assert tl > 0
     tsl = E.tail_suppressed_triplet_loss(d_ap, d_an)
     assert 0 <= tsl
+
+
+def test_encoder_checkpoint_roundtrip(spark, tmp_path):
+    """S5: save/load weights (npz) + bytes round-trip reproduce embeddings."""
+    w = E.init_weights()
+    path = str(tmp_path / "enc.npz")
+    E.save_weights(w, path)
+    w2 = E.load_weights(path)
+    X = np.random.default_rng(2).normal(size=(8, 8))
+    assert np.array_equal(E.forward(w, X), E.forward(w2, X))
+    w3 = E.weights_from_bytes(E.weights_to_bytes(w))
+    assert np.array_equal(E.forward(w, X), E.forward(w3, X))
