@@ -19,14 +19,20 @@ def coerce_records(df: DataFrame) -> DataFrame:
         F.col("tension_adj").try_cast("int").alias("tension_adj"),
         F.col("tension").try_cast("double").alias("tension"),
         F.col("resonance").try_cast("double").alias("resonance"),
-        F.to_date(F.col("longevity").cast("string"), "dd/MM/yyyy").alias("longevity"),
+        F.try_to_date(F.col("longevity").cast("string"), "dd/MM/yyyy").alias("longevity"),
         F.col("quality").try_cast("int").alias("quality"),
         F.col("amt_sold").try_cast("double").alias("amt_sold"),
     )
 
 
 def read_records_csv(spark: SparkSession, path: str, encoding: str = "cp1252") -> DataFrame:
-    """CSV scan with header + charset, then coercion (reference S1)."""
+    """CSV scan with header + charset, then coercion (reference S1).
+
+    Spark 4 restricts CSV charsets to a short allow-list by default; the
+    legacy flag re-enables arbitrary JVM charsets (cp1252 = the reference's
+    ``manager.py:28`` encoding).
+    """
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     raw = spark.read.option("header", True).option("encoding", encoding).csv(path)
     return coerce_records(raw)
 

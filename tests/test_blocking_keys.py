@@ -62,3 +62,31 @@ def test_metaphone_udf(spark):
     got = [r["m"] for r in df.select(BK.metaphone_udf(F.col("n")).alias("m")).collect()]
     assert got[0].startswith("TMSN".replace("S", "")) or got[0]  # stable, non-empty
     assert got[1][0] == "N"  # KN- -> N
+
+
+def test_phonetic_combination_randomized_parity(spark):
+    """Spark expressions == reference-semantics python impl on 300 random
+    strings incl. unicode, spaces, empties (one Spark job, not per-example)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz ABCÖÜäöüßéç0123456789-_.")
+    strings = [""] + [
+        "".join(rng.choice(alphabet, size=int(rng.integers(1, 15))))
+        for _ in range(300)
+    ]
+
+    def py_keys(x):
+        s = str(x).lower()
+        return [
+            s[0:1], s[0:2], s[0:3], s[-3:],
+            "".join(c for c in s if c.isalpha() and c not in "aeiou"),
+        ]
+
+    df = spark.createDataFrame([(s,) for s in strings], ["t"])
+    got = {
+        r["t"]: r["k"]
+        for r in df.select("t", BK.phonetic_combination(F.col("t")).alias("k")).collect()
+    }
+    for s in strings:
+        assert got[s] == py_keys(s), repr(s)

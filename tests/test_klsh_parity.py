@@ -103,3 +103,26 @@ def test_silhouette_and_knee():
     labels = np.array([0] * 5 + [1] * 5)
     assert silhouette(X, labels) > 0.9
     assert elbow_knee([1, 2, 3, 4, 5], [100.0, 20.0, 15.0, 12.0, 10.0]) == 2
+
+
+def test_read_records_csv_cp1252(spark, tmp_path):
+    """S1/S4: CSV scan with cp1252 charset + reference type coercion."""
+    from entity_resolution_spark.sources.tables import read_records_csv
+
+    csv = tmp_path / "recs.csv"
+    content = (
+        "name,tension_adj,tension,resonance,longevity,quality,amt_sold\n"
+        "August Förster,1,3.5,110.0,13/04/2028,3,5000\n"
+        "Broken,notanint,xx,1.0,99/99/9999,2,100\n"
+    )
+    csv.write_bytes(content.encode("cp1252"))
+    df = read_records_csv(spark, str(csv))
+    rows = {r["name"]: r for r in df.collect()}
+    assert "August Förster" in rows  # charset decoded
+    good = rows["August Förster"]
+    assert good["tension_adj"] == 1 and good["quality"] == 3
+    assert str(good["longevity"]) == "2028-04-13"
+    bad = rows["Broken"]
+    # errors='coerce' semantics: unparseable -> null, row kept
+    assert bad["tension_adj"] is None and bad["tension"] is None
+    assert bad["longevity"] is None
