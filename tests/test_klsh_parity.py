@@ -126,3 +126,46 @@ def test_read_records_csv_cp1252(spark, tmp_path):
     # errors='coerce' semantics: unparseable -> null, row kept
     assert bad["tension_adj"] is None and bad["tension"] is None
     assert bad["longevity"] is None
+
+
+def test_spark_engineer_matches_pandas_path(spark):
+    """F1-F6 cross-validation: the Spark column/window implementation equals
+    the per-group pandas implementation used inside the KLSH stage."""
+    import numpy as np
+
+    from entity_resolution_spark.functions import features as FE
+    from entity_resolution_spark.operators.klsh import engineer_pandas
+
+    pdf, _groups = make_apollo()
+    pdf = pdf.reset_index().rename(columns={"index": "record_id"})
+    pdf["component_id"] = pdf["record_id"] % 3  # arbitrary 3 groups
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "longevity", F.to_date("longevity", "dd/MM/yyyy")
+    )
+    out = FE.engineer(sdf, APOLLO_SPEC).select(
+        "record_id", "component_id", *APOLLO_SPEC.output_columns()
+    )
+    got = {r["record_id"]: [r[c] for c in APOLLO_SPEC.output_columns()] for r in out.collect()}
+
+    import pandas as pd
+
+    pdf2 = pdf.copy()
+    pdf2["longevity"] = pd.to_datetime(pdf2["longevity"], format="%d/%m/%Y")
+    for comp, grp in pdf2.groupby("component_id"):
+        X = engineer_pandas(grp, APOLLO_SPEC)
+        for (rid, row) in zip(grp["record_id"], X):
+            assert np.allclose(got[rid], row, atol=1e-9), rid
+
+
+def test_uncovered_text_functions(spark):
+    from entity_resolution_spark.functions import text as T
+
+    df = spark.createDataFrame([("Hello WORLD! el la de que los una con por",)], ["text"])
+    r = df.select(
+        T.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        F.round(T.uppercase_ratio(F.col("text")), 4).alias("upper"),
+        T.lang_guess(F.col("text")).alias("lang"),
+    ).collect()[0]
+    assert r["bpe"] == 11  # Hello, WORLD, !, + 8 stopwords
+    assert r["upper"] > 0
+    assert r["lang"] == "es"

@@ -132,3 +132,16 @@ def test_encoder_checkpoint_roundtrip(spark, tmp_path):
     assert np.array_equal(E.forward(w, X), E.forward(w2, X))
     w3 = E.weights_from_bytes(E.weights_to_bytes(w))
     assert np.array_equal(E.forward(w, X), E.forward(w3, X))
+
+
+def test_score_with_match_threshold(spark):
+    from entity_resolution_spark.operators import blocking, pairs as P
+    from entity_resolution_spark.operators.blocking import BlockingStage
+
+    corpus = make_pages(n_entities=12)
+    pages = spark.createDataFrame(corpus.pages)
+    recs = pipeline.extract(pages).select("record_id", "title")
+    edges = P.prune(P.edge_weights(blocking.block(recs, [BlockingStage("title", "phonetic_combination")])))
+    scored = pipeline.score(pages, edges, match_threshold=0.7).collect()
+    assert all(r["is_match_pred"] in (0, 1) for r in scored)
+    assert any(r["is_match_pred"] == 1 for r in scored)
