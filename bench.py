@@ -91,8 +91,13 @@ def run_default() -> None:
     )
 
 
-def _scaling_worker(cores: int, sf_dir: str) -> None:
-    """Subprocess body: time the pair-generation+scoring job at `cores`."""
+def _scaling_worker(cores: int, sf_dir: str, mode: str = "threads") -> None:
+    """Subprocess body: time the pair-generation+scoring job at `cores`.
+
+    mode="threads": local[cores] (task slots in one JVM).
+    mode="executors": local-cluster[cores//4, 4, 3072] — real separate
+    executor JVMs (the literal N vs 4N *executors* deployment shape).
+    """
     from pyspark.sql import functions as F
 
     from entity_resolution_spark import entrypoints
@@ -100,10 +105,18 @@ def _scaling_worker(cores: int, sf_dir: str) -> None:
     from entity_resolution_spark.operators import pairs as P
     from entity_resolution_spark.session import get_spark
 
+    if mode == "executors":
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        master = f"local-cluster[{max(cores // 4, 1)},4,3072]"
+        extra = {"spark.executor.memory": "3g"}
+    else:
+        master = f"local[{cores}]"
+        extra = {}
     spark = get_spark(
         app_name=f"er-scaling-{cores}",
-        master=f"local[{cores}]",
+        master=master,
         shuffle_partitions=4 * cores,
+        extra_confs=extra,
     )
     entrypoints.ensure_shipped(spark)
     scale = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "2"))
@@ -178,7 +191,8 @@ def run_scaling(sf_dir: str) -> None:
         # the OS schedules onto up to 2N physical cores.  taskset makes the
         # 8-core run a true 8-core machine, i.e. the honest N vs 4N cluster
         # substitute.
-        cmd = [sys.executable, __file__, "--scaling-worker", str(cores), sf_dir]
+        mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "threads")
+        cmd = [sys.executable, __file__, "--scaling-worker", str(cores), sf_dir, mode]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -216,7 +230,8 @@ def run_scaling(sf_dir: str) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
-        _scaling_worker(int(sys.argv[2]), sys.argv[3])
+        _scaling_worker(int(sys.argv[2]), sys.argv[3],
+                        sys.argv[4] if len(sys.argv) > 4 else "threads")
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
     else:
