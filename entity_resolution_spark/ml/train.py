@@ -86,6 +86,33 @@ def _backward(w, cache, grad_e, grads):
         grads[f"{name}_b1"] += grad_z1.sum(axis=0)
 
 
+def cyclic_lr_with_restarts(
+    base_lr: float,
+    cycle_len: int = 10,
+    t_mult: float = 2.0,
+    min_frac: float = 0.01,
+):
+    """M7: cosine-annealing LR with warm restarts (public SGDR schedule,
+    Loshchilov & Hutter arXiv:1608.03983 — the reference vendors an
+    implementation of the same family at ``schedulers/cyclic_scheduler.py``).
+
+    Returns ``lr(epoch) -> float``: cosine decay from base_lr to
+    min_frac·base_lr within each cycle; cycle length multiplies by ``t_mult``
+    at each restart.
+    """
+
+    def lr(epoch: int) -> float:
+        start, length = 0, cycle_len
+        while epoch >= start + length:
+            start += length
+            length = int(length * t_mult)
+        frac = (epoch - start) / max(length - 1, 1)
+        lo = base_lr * min_frac
+        return lo + 0.5 * (base_lr - lo) * (1 + np.cos(np.pi * frac))
+
+    return lr
+
+
 @dataclass
 class TrainResult:
     weights: dict[str, np.ndarray]
@@ -105,6 +132,7 @@ def train_contrastive(
     margin: float = 2.0,
     seed: int = 42,
     early_stop_loss: float = 1e-6,
+    lr_schedule=None,
 ) -> TrainResult:
     """Pairwise contrastive training: y=0 similar (pull), y=1 dissimilar (push).
 
@@ -122,6 +150,7 @@ def train_contrastive(
     n = len(X1)
     epochs_run = 0
     for epoch in range(epochs):
+        ep_lr = lr_schedule(epoch) if lr_schedule else lr
         idx = rng.permutation(n)
         ep_loss = 0.0
         for s in range(0, n, batch_size):
@@ -147,7 +176,7 @@ def train_contrastive(
                 v_t[k] = b2 * v_t[k] + (1 - b2) * grads[k] ** 2
                 mh = m_t[k] / (1 - b1**step)
                 vh = v_t[k] / (1 - b2**step)
-                w[k] -= lr * mh / (np.sqrt(vh) + eps)
+                w[k] -= ep_lr * mh / (np.sqrt(vh) + eps)
         ep_loss /= n
         history.append(ep_loss)
         epochs_run = epoch + 1

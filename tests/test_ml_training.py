@@ -127,3 +127,18 @@ def test_optimize_weights_early_stop():
 
     optimize_weights(obj, n_weights=2, n_calls=50, early_stop_value=-1.0)
     assert len(calls) == 1
+
+
+def test_cyclic_lr_schedule():
+    from entity_resolution_spark.ml.train import cyclic_lr_with_restarts
+
+    lr = cyclic_lr_with_restarts(1.0, cycle_len=4, t_mult=2.0, min_frac=0.0)
+    assert lr(0) == 1.0          # cycle start = base lr
+    assert lr(3) < 0.1           # cycle end ~ min
+    assert lr(4) == 1.0          # restart
+    assert lr(11) < 0.1 and lr(12) == 1.0  # second cycle is 8 long
+    # training with the schedule still converges
+    Xa, Xp, Xn = _triplet_data(n=48)
+    res = train_triplets(Xa, Xp, Xn, epochs=30, lr=3e-3,
+                         lr_schedule=cyclic_lr_with_restarts(3e-3, cycle_len=10))
+    assert res.history[-1] < res.history[0]
