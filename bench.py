@@ -228,8 +228,77 @@ def run_scaling(sf_dir: str) -> None:
         )
 
 
+def run_reference_compare(sf_dir: str, reps: int = 8) -> None:
+    """Same blocking→edges→prune→CC chain: this engine vs a faithful
+    single-node pandas/dict implementation of the reference architecture
+    (tests/pandas_oracle.py), on the identical replicated input."""
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import duckdb
+    from pandas_oracle import blocks_py, components_py, edge_weights_py
+
+    base = duckdb.query(
+        f"select doc_id, split_part(text,' ',1) as title from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchdf()
+    docs = pd.concat(
+        [base.assign(doc_id=base["doc_id"] + i * 10_000_000) for i in range(reps)],
+        ignore_index=True,
+    )
+
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark import entrypoints
+    from entity_resolution_spark.operators import components as C
+    from entity_resolution_spark.operators import pairs as P
+    from entity_resolution_spark.session import get_spark
+
+    spark = get_spark(app_name="ref-compare")
+    bb = entrypoints._blocks(spark, sf_dir)
+    blocks = bb
+    for i in range(1, reps):
+        blocks = blocks.union(
+            bb.select((F.col("record_id") + i * 10_000_000).alias("record_id"), "block_key")
+        )
+    blocks = blocks.repartition(64).localCheckpoint()
+    P.candidate_pairs(bb.limit(1000)).count()  # warm
+    t0 = time.perf_counter()
+    pr = P.prune(
+        P.edge_weights(blocks, left_partitions=64, broadcast_blocks=True)
+    ).localCheckpoint()
+    pr.count()
+    C.assign_components(
+        blocks.select("record_id").distinct(),
+        pr.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+    ).count()
+    t_spark = time.perf_counter() - t0
+    spark.stop()
+
+    # pandas AFTER spark: its ~8 GB pair dict would otherwise sit in the
+    # driver heap during the Spark phase and skew the comparison
+    t0 = time.perf_counter()
+    names = pd.Series(docs["title"].values, index=docs["doc_id"].values)
+    weights = edge_weights_py(blocks_py(names))
+    pruned = [p for p, w in weights.items() if w > 1.5]
+    components_py(list(docs["doc_id"]), pruned)
+    t_pandas = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "docs": len(docs),
+                "reference_pandas_sec": round(t_pandas, 1),
+                "spark_sec": round(t_spark, 1),
+                "speedup": round(t_pandas / t_spark, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
+    if len(sys.argv) > 1 and sys.argv[1] == "--reference-compare":
+        run_reference_compare(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         _scaling_worker(int(sys.argv[2]), sys.argv[3],
                         sys.argv[4] if len(sys.argv) > 4 else "threads")
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
