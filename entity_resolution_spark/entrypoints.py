@@ -505,6 +505,21 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:  # F8
     return iqr_outlier_report(_events(spark, sf_dir), ["value"])
 
 
+def q_two_stage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:  # B6
+    """Hierarchical blocking: lang (exact) stage 1, title phonetic stage 2 —
+    composite keys only co-block docs agreeing on both."""
+    from .operators.blocking import BlockingStage, block
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").alias("record_id"),
+        "lang",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("title"),
+    )
+    return block(
+        d, [BlockingStage("lang", "exact"), BlockingStage("title", "phonetic_combination")]
+    )
+
+
 def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1
     from .functions.blocking_keys import soundex_key
 
@@ -556,6 +571,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "iqr_outliers": q_iqr_outliers,
         "hash_date_features": q_hash_date_features,
         "metaphone_keys": q_metaphone_keys,
+        "two_stage_blocks": q_two_stage_blocks,
     }
 
 
@@ -853,6 +869,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # soundex_keys: rows-only (DuckDB has no soundex function)
+        "two_stage_blocks": f"""
+            SELECT DISTINCT doc_id AS record_id,
+                   'initial_block-lang_exact:' || lower(lang)
+                   || '-title_phonetic_combination:' || block_key AS block_key
+            FROM (
+                SELECT doc_id, lang, unnest([
+                    substr(s, 1, 1),
+                    substr(s, 1, 2),
+                    substr(s, 1, 3),
+                    substr(s, greatest(length(s) - 2, 1), 3),
+                    regexp_replace(regexp_replace(s, '[^\p{{L}}]', '', 'g'), '[aeiou]', '', 'g')
+                ]) AS block_key
+                FROM (SELECT doc_id, lang, lower({_TITLE_SQL}) AS s FROM documents)
+            )
+        """,
         "hash_date_features": """
             SELECT event_id,
                 round((('0x' || substr(md5('seed42_' || strftime(ts, '%m') || '_' || strftime(ts, '%Y')), 1, 15))::bigint % 1000) / 1000.0, 6) AS my_feat,

@@ -40,6 +40,9 @@ RULE_LIBRARY: dict[str, RuleFn] = {
     "phonetic": BK.phonetic_key,
     "two_of_three_date": BK.two_of_three_date,
     "sliding_window": BK.sliding_window_key,
+    # exact-match blocking: the value itself is the key (standard rule the
+    # reference's JSON library shape supports; used for e.g. lang stages)
+    "exact": lambda c: F.lower(c.cast("string")),
 }
 
 
