@@ -505,6 +505,16 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:  # F8
     return iqr_outlier_report(_events(spark, sf_dir), ["value"])
 
 
+def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:  # E6
+    """Distribution of pair scores: 10 bins of tfidf cosine over pruned pairs."""
+    scored = q_tfidf_cosine(spark, sf_dir)
+    bin_col = F.least(F.floor(F.col("tfidf_cosine") * 10), F.lit(9)).cast("long")
+    return scored.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("tfidf_cosine"), 6).alias("mean_score"),
+    )
+
+
 def q_two_stage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:  # B6
     """Hierarchical blocking: lang (exact) stage 1, title phonetic stage 2 —
     composite keys only co-block docs agreeing on both."""
@@ -572,6 +582,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "hash_date_features": q_hash_date_features,
         "metaphone_keys": q_metaphone_keys,
         "two_stage_blocks": q_two_stage_blocks,
+        "score_histogram": q_score_histogram,
     }
 
 
@@ -869,6 +880,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # soundex_keys: rows-only (DuckDB has no soundex function)
+        "score_histogram": f"""
+            WITH scored AS (
+            WITH {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+            terms AS (
+                SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT id, term AS term_key, count(*) AS tf
+                   FROM terms WHERE term <> '' GROUP BY 1, 2),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            idf AS (SELECT term_key,
+                           ln((1.0 + (SELECT n_docs FROM n)) / (1.0 + count(DISTINCT id))) + 1.0 AS idf
+                    FROM tf GROUP BY 1),
+            wts AS (SELECT tf.id, tf.term_key, tf.tf * idf.idf AS w
+                    FROM tf JOIN idf USING (term_key)),
+            nrm AS (SELECT id, sqrt(sum(w * w)) AS nm FROM wts GROUP BY 1),
+            vec AS (SELECT wts.id, term_key, w / nm AS w FROM wts JOIN nrm USING (id)),
+            dots AS (
+                SELECT p.id1, p.id2, sum(v1.w * v2.w) AS dot
+                FROM pruned p
+                JOIN vec v1 ON v1.id = p.id1
+                JOIN vec v2 ON v2.id = p.id2 AND v1.term_key = v2.term_key
+                GROUP BY 1, 2
+            )
+            SELECT p.id1, p.id2, round(coalesce(d.dot, 0.0), 6) AS tfidf_cosine
+            FROM pruned p LEFT JOIN dots d ON d.id1 = p.id1 AND d.id2 = p.id2
+        )
+            SELECT least(floor(tfidf_cosine * 10), 9)::bigint AS bin,
+                   count(*) AS n_pairs,
+                   round(avg(tfidf_cosine), 6) AS mean_score
+            FROM scored GROUP BY 1
+        """,
         "two_stage_blocks": f"""
             SELECT DISTINCT doc_id AS record_id,
                    'initial_block-lang_exact:' || lower(lang)

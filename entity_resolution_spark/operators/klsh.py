@@ -124,6 +124,22 @@ def klsh_pairs(assignments: DataFrame) -> DataFrame:
     )
 
 
+def best_k_unsupervised(assignments: DataFrame) -> DataFrame:
+    """E3: label-free k selection — highest silhouette, lowest k tie-break
+    (reference ``klsh_engine.py:241-259`` keeps the best silhouette k; NaN
+    silhouettes (k=1 or k=n) sort last)."""
+    per_k = assignments.select("component_id", "k", "silhouette").distinct()
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc_nulls_last(F.when(~F.isnan("silhouette"), F.col("silhouette"))),
+        F.asc("k"),
+    )
+    return (
+        per_k.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select("component_id", F.col("k").alias("best_k"), "silhouette")
+    )
+
+
 def best_k_by_f1(
     assignments: DataFrame, true_pairs: DataFrame
 ) -> DataFrame:

@@ -169,3 +169,24 @@ def test_uncovered_text_functions(spark):
     assert r["bpe"] == 11  # Hello, WORLD, !, + 8 stopwords
     assert r["upper"] > 0
     assert r["lang"] == "es"
+
+
+def test_best_k_unsupervised(spark):
+    pdf, groups = make_apollo()
+    _assignment, sweep = _spark_pipeline(spark, pdf)
+    from entity_resolution_spark.operators.klsh import best_k_unsupervised
+
+    best = {r["component_id"]: r for r in best_k_unsupervised(sweep).collect()}
+    assert len(best) == 3
+    for r in best.values():
+        assert r["best_k"] >= 1
+        # chosen silhouette is the max over that component's valid ks
+        per_k = {
+            row["k"]: row["silhouette"]
+            for row in sweep.where(sweep.component_id == r["component_id"])
+            .select("k", "silhouette").distinct().collect()
+        }
+        import math
+        valid = [v for v in per_k.values() if v is not None and not math.isnan(v)]
+        if valid:
+            assert abs(r["silhouette"] - max(valid)) < 1e-12
