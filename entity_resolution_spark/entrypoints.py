@@ -515,6 +515,12 @@ def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:  # E6
     )
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup e2e (rows-only)
+    from .operators import dedup
+
+    return dedup.dedup_keep_list(_doc(spark, sf_dir), jaccard_threshold=0.8)
+
+
 def q_two_stage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:  # B6
     """Hierarchical blocking: lang (exact) stage 1, title phonetic stage 2 —
     composite keys only co-block docs agreeing on both."""
@@ -583,6 +589,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "metaphone_keys": q_metaphone_keys,
         "two_stage_blocks": q_two_stage_blocks,
         "score_histogram": q_score_histogram,
+        "dedup_keep_list": q_dedup_keep_list,
     }
 
 

@@ -270,6 +270,65 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_keep_list(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end corpus dedup: (id, keep_id, is_kept).
+
+    The standard web-scale recipe: exact dedup by normalized fingerprint,
+    MinHash-LSH candidate pairs, exact token-Jaccard verification at the
+    threshold, transitive closure of verified near-dup pairs (a near-dups b,
+    b near-dups c ⇒ one group), keep the min id per group.  Every step is a
+    DataFrame op; the closure reuses the large-star/small-star operator.
+    """
+    from .components import assign_components
+
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    # exact: same fingerprint → edge to group min (cheap, no pair explosion)
+    fp = docs.select(F.col(id_col).alias("id"), md5_fingerprint(F.col(text_col)).alias("fp"))
+    fp_min = fp.groupBy("fp").agg(F.min("id").alias("keep"))
+    exact_edges = (
+        fp.join(fp_min, "fp")
+        .where(F.col("id") != F.col("keep"))
+        .select(F.col("id").alias("id1"), F.col("keep").alias("id2"))
+    )
+    # near: minhash bands → candidates → exact jaccard ≥ threshold
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    cands = minhash_band_pairs(sig, id_col, bands, num_hashes // bands)
+    tok = _tokens(docs, id_col, text_col)
+    sizes = tok.groupBy("id").agg(F.count("*").alias("n_tok"))
+    t1 = tok.select(F.col("id").alias("id1"), "tok")
+    t2 = tok.select(F.col("id").alias("id2"), "tok")
+    inter = (
+        cands.join(t1, "id1").join(t2, ["id2", "tok"])
+        .groupBy("id1", "id2").agg(F.count("*").alias("isect"))
+    )
+    near_edges = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n_tok").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_tok").alias("n2")), "id2")
+        .where(
+            F.col("isect") / (F.col("n1") + F.col("n2") - F.col("isect"))
+            >= F.lit(jaccard_threshold)
+        )
+        .select("id1", "id2")
+    )
+    edges = exact_edges.unionByName(near_edges)
+    groups = assign_components(
+        ids.withColumnRenamed("id", "record_id"),
+        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+    )
+    return groups.select(
+        F.col("record_id").alias(id_col),
+        F.col("component_id").alias("keep_id"),
+        (F.col("record_id") == F.col("component_id")).alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

@@ -96,3 +96,23 @@ def test_embedding_near_dup(spark):
         for r in dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()
     }
     assert (100, 101) in got and got[(100, 101)] > 0.99
+
+
+def test_dedup_keep_list(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "THE quick   brown fox jumps over the lazy dog today"),  # exact (normalized)
+        (3, "the quick brown fox jumps over the lazy cat today"),    # near (1 token)
+        (4, "completely different content about spark pipelines"),
+        (5, "completely different content about spark pipelines"),   # exact dup of 4
+    ]
+    d = _docs(spark, rows)
+    got = {r["doc_id"]: (r["keep_id"], r["is_kept"]) for r in
+           dedup.dedup_keep_list(d, jaccard_threshold=0.7).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)   # transitively grouped via near-dup
+    assert got[4] == (4, True)
+    assert got[5] == (4, False)
+    # kept set = one representative per group
+    assert sorted(k for k, (kid, kept) in got.items() if kept) == [1, 4]
