@@ -444,7 +444,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only 
     from .operators.ann import lsh_topk
 
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5, round_to=4)
+    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5, dim=64, round_to=4)
 
 
 def _emb_pairs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +603,163 @@ _MINHASH_COLS = ", ".join(
 )
 
 _SIG_SQL = f"WITH {_TOKENS_SQL} SELECT doc_id, {_MINHASH_COLS} FROM tokens GROUP BY doc_id"
+
+# Non-empty distinct tokens (operators.dedup._tokens semantics) as a CTE body.
+_NE_TOKENS_SQL = """
+    tok AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    ne_toksz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1)
+"""
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """Bit-exact SQL replica of ``dedup.simhash_signatures`` +
+    ``dedup.simhash_near_pairs``: md5-derived 60-bit token hash (bits 60-63
+    of the signature are always 0, so only 60 per-bit sums are needed), the
+    same (max_hamming+1)-band pigeonhole bucketing, exact Hamming filter."""
+    from .operators.dedup import simhash_bands
+
+    sums = ",\n                   ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) AS s{b}"
+        for b in range(60)
+    )
+    sig = " + ".join(
+        f"(case when s{b} > 0 then (1::bigint << {b}) else 0 end)" for b in range(60)
+    )
+    bands = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {off}) & {(1 << w) - 1} AS bucket FROM sig"
+        for i, (off, w) in enumerate(simhash_bands(max_hamming))
+    )
+    return f"""
+        WITH {_NE_TOKENS_SQL},
+        hashes AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM tok),
+        sums AS (SELECT doc_id, {sums} FROM hashes GROUP BY doc_id),
+        sig AS (SELECT doc_id, ({sig}) AS simhash FROM sums),
+        banded AS ({bands})
+        SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+               bit_count(xor(l.simhash, r.simhash))::bigint AS hamming
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    """
+
+
+def _keep_list_sql(jaccard_threshold: float = 0.8) -> str:
+    """SQL replica of ``dedup.dedup_keep_list``: exact-fingerprint edges +
+    Jaccard-verified MinHash-LSH edges + recursive-CTE transitive closure
+    (same closure the ``connected_components`` oracle uses)."""
+    return f"""
+        WITH RECURSIVE {_NE_TOKENS_SQL},
+        sig AS (SELECT doc_id, {_MINHASH_COLS} FROM tok GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, 0 AS band, h0::varchar || '_' || h1::varchar AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, 1, h2::varchar || '_' || h3::varchar FROM sig
+            UNION ALL
+            SELECT doc_id, 2, h4::varchar || '_' || h5::varchar FROM sig
+            UNION ALL
+            SELECT doc_id, 3, h6::varchar || '_' || h7::varchar FROM sig
+        ),
+        cands AS (
+            SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        ),
+        inter AS (
+            SELECT c.id1, c.id2, count(*) AS isect
+            FROM cands c
+            JOIN tok t1 ON t1.doc_id = c.id1
+            JOIN tok t2 ON t2.doc_id = c.id2 AND t1.tok = t2.tok
+            GROUP BY 1, 2
+        ),
+        near AS (
+            SELECT i.id1, i.id2
+            FROM inter i
+            JOIN ne_toksz s1 ON s1.doc_id = i.id1
+            JOIN ne_toksz s2 ON s2.doc_id = i.id2
+            WHERE i.isect::double / (s1.n_tok + s2.n_tok - i.isect) >= {jaccard_threshold}
+        ),
+        fp AS (
+            SELECT doc_id AS id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        fpmin AS (SELECT fp, min(id) AS keep FROM fp GROUP BY 1),
+        exact AS (
+            SELECT f.id AS id1, m.keep AS id2
+            FROM fp f JOIN fpmin m USING (fp) WHERE f.id <> m.keep
+        ),
+        alledges AS (SELECT id1, id2 FROM exact UNION SELECT id1, id2 FROM near),
+        bi AS (SELECT id1 AS src, id2 AS dst FROM alledges
+               UNION SELECT id2, id1 FROM alledges),
+        reach(src, dst) AS (
+            SELECT src, dst FROM bi
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+        ),
+        mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(m.mn, d.doc_id)) AS keep_id,
+               (d.doc_id = least(d.doc_id, coalesce(m.mn, d.doc_id))) AS is_kept
+        FROM documents d LEFT JOIN mins m ON d.doc_id = m.src
+    """
+
+
+def _ann_lsh_sql(
+    k: int = 5, n_planes: int = 8, n_tables: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """SQL replica of ``ann.lsh_topk``: the md5-derived hyperplane weights are
+    data-independent constants, so the same Python helper that builds the
+    Spark literals (``ann.srp_plane_weight``) emits them here as SQL list
+    literals — bucket assignment is the same arithmetic in both engines."""
+    from .operators.ann import srp_plane_weight
+
+    table_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = ", ".join(
+                repr(srp_plane_weight(seed, t, p, i)) for i in range(dim)
+            )
+            bits.append(
+                f"(case when list_dot_product(embedding::DOUBLE[], [{plane}]) >= 0"
+                f" then {1 << (n_planes - 1 - p)} else 0 end)"
+            )
+        table_exprs.append("(" + " + ".join(bits) + f") AS b{t}")
+    sig_cols = ",\n               ".join(table_exprs)
+    band_union = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sigs" for t in range(n_tables)
+    )
+    return f"""
+        WITH sigs AS (SELECT vec_id, {sig_cols} FROM embeddings),
+        banded AS ({band_union}),
+        q AS (SELECT * FROM banded WHERE vec_id < 10),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM q JOIN banded c
+              ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        ),
+        sims AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(a.embedding, b.embedding)
+                   / (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+            FROM cands
+            JOIN embeddings a ON a.vec_id = query_id
+            JOIN embeddings b ON b.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rn
+            FROM sims
+        ) WHERE rn <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -886,6 +1043,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_chars % 2 = 0 THEN 0.0 ELSE 1.0 END AS bool_sin
             FROM documents
         """,
+        "simhash_near_pairs": _simhash_sql(max_hamming=8),
+        "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
+        "ann_lsh_topk": _ann_lsh_sql(),
         # soundex_keys: rows-only (DuckDB has no soundex function)
         "score_histogram": f"""
             WITH scored AS (

@@ -77,33 +77,35 @@ def cosine_topk(
     return out
 
 
+def srp_plane_weight(seed: int, table: int, plane: int, i: int) -> float:
+    """Deterministic hyperplane coordinate in [-1, 1]: low-60-bit md5 of
+    ``"{seed}_{table}_{plane}_{i}"`` mapped through ``% 10007 / 5003 − 1``.
+
+    Computed once on the driver (plane weights are data-independent
+    constants), embedded as literals in the Spark plan — and reproducible in
+    the DuckDB oracle with the same md5 expression, so SRP bucket assignment
+    is bit-identical across engines.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}_{table}_{plane}_{i}".encode()).hexdigest()[:15], 16)
+    return (h % 10007) / 5003.0 - 1.0
+
+
 def _srp_signature(vec_col, dim: int, n_planes: int, table: int, seed: int = 42):
     """Deterministic random-hyperplane signature as a JVM expression.
 
-    Plane weights come from a hash of (seed, table, plane, coordinate) mapped
-    to [-1, 1] — no RNG state, identical on every executor.
+    Plane weights are md5-derived literal constants (``srp_plane_weight``) —
+    no RNG state, no per-row hashing, identical on every executor.
     """
     bits = []
     for p in range(n_planes):
-        # dot(vec, plane_p) where plane_p[i] = hash01(seed,table,p,i)*2-1
-        acc = F.lit(0.0).cast("double")
+        plane = F.array(
+            *[F.lit(srp_plane_weight(seed, table, p, i)) for i in range(dim)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, i: v
-                * (
-                    (
-                        F.pmod(
-                            F.xxhash64(F.lit(seed), F.lit(table), F.lit(p), i),
-                            F.lit(10007),
-                        )
-                        / F.lit(5003.0)
-                    )
-                    - F.lit(1.0)
-                ),
-            ),
-            acc,
+            F.zip_with(vec_col, plane, lambda v, w: v * w),
+            F.lit(0.0).cast("double"),
             lambda a, v: a + v,
         )
         bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
@@ -126,7 +128,12 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: SRP-LSH candidate generation + exact rerank."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if first is None:  # empty / all-null corpus → empty result, same schema
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double"
+            )
+        dim = len(first[0])
     # one exploded (tbl, bucket) struct array per row: a single pass over the
     # signature computation instead of one union branch per table
     band_structs = F.array(

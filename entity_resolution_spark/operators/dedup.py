@@ -165,8 +165,12 @@ def simhash_signatures(
 
     Pure JVM: token hash once, then per-bit ±1 contribution aggregated; the
     64 per-bit sums reduce in one groupBy (map-side combinable).
+
+    The token hash is the md5-derived 60-bit ``_md5_long`` (not xxhash64) so
+    the DuckDB oracle can reproduce the signature bit-for-bit; bits 60-63 are
+    therefore always 0 (sum = −n_tokens), leaving 60 informative bits.
     """
-    tok = _tokens(docs, id_col, text_col).withColumn("h", F.xxhash64("tok"))
+    tok = _tokens(docs, id_col, text_col).withColumn("h", _md5_long(F.col("tok")))
     sums = tok.groupBy("id").agg(
         *[
             F.sum(
@@ -194,20 +198,40 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_bands(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(offset, width) per band: ``max_hamming + 1`` contiguous chunks of the
+    signature, so by pigeonhole any pair with Hamming ≤ max_hamming agrees
+    exactly on ≥ 1 band — guaranteed recall for the stated contract (the old
+    fixed 4×16 banding only guaranteed Hamming ≤ 3)."""
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    if base == 0:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than {bits} bits")
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Candidates via 4×16-bit band buckets (pigeonhole: any pair with
-    Hamming ≤ 3 agrees on ≥1 of 4 bands), then exact Hamming filter."""
+    """Candidates via band buckets (``max_hamming + 1`` contiguous bands ⇒
+    pigeonhole guarantees any pair with Hamming ≤ max_hamming shares ≥ 1
+    band), then exact Hamming filter."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                F.shiftright("simhash", off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bucket"),
             )
-            for b in range(4)
+            for b, (off, w) in enumerate(simhash_bands(max_hamming))
         ]
     )
     banded = signatures.select(
@@ -220,7 +244,7 @@ def simhash_near_pairs(
         .select(
             F.col("l.id").alias("id1"),
             F.col("r.id").alias("id2"),
-            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
@@ -345,7 +369,12 @@ def embedding_near_dup_pairs(
     from ..functions.similarity import cosine
     from .ann import _srp_signature
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:  # empty / all-null input → empty result, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "id1 long, id2 long, cosine double"
+        )
+    dim = len(first[0])
     band_structs = F.array(
         *[
             F.struct(

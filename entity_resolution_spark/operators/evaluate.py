@@ -65,32 +65,86 @@ def threshold_metrics(
 
 
 def auroc(
-    scored: DataFrame, score_col: str = "score", label_col: str = "is_match"
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_match",
+    n_bins: int = 64,
 ) -> DataFrame:
-    """AUROC via the rank-sum (Mann-Whitney U) identity — two shuffles total.
+    """Exact AUROC via the Mann-Whitney probability identity — no global window.
 
-    AUROC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg), with average ranks
-    for score ties (dense ranking would bias; ``rank`` + count/2 correction
-    handles ties exactly like the standard definition).
+    AUROC = P(s_pos > s_neg) + ½·P(s_pos = s_neg)
+          = Σ_g pos_g · (neg_strictly_below_g + ½·neg_g) / (n_pos·n_neg)
+
+    summed over distinct-score groups ``g`` — algebraically identical to the
+    tie-corrected rank-sum (R_pos − n_pos(n_pos+1)/2)/(n_pos·n_neg) but
+    computed without ranking individual rows:
+
+    1. ``groupBy(score)`` collapses the (possibly huge) scored-pair table to
+       one row per distinct score — a map-side-combinable hash aggregate.
+    2. Distinct scores are range-binned by ~``n_bins`` approx-quantile
+       boundaries; the running negative count is a **partitioned** window
+       within each bin (never the single-partition ``Window.orderBy`` that
+       Spark warns about) plus a per-bin offset from a tiny (≤ n_bins rows)
+       collected totals table.
+
+    Exact regardless of bin boundaries (bins only partition the work), so the
+    result still hash-matches the oracle's rank-based SQL.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy("s")
-    # average rank per tie group = rank + (count-1)/2
-    ranked = scored.select(
-        F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y")
-    ).withColumn("r0", F.rank().over(w)).withColumn(
-        "cnt", F.count("*").over(Window.partitionBy("s"))
-    ).withColumn("r", F.col("r0") + (F.col("cnt") - 1) / 2.0)
-    agg = ranked.agg(
-        F.sum(F.col("r") * F.col("y")).alias("rpos"),
-        F.sum("y").alias("npos"),
-        F.sum(1 - F.col("y")).alias("nneg"),
+    y = F.col(label_col).cast("int")
+    g = (
+        scored.select(F.col(score_col).alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
+    )
+    g = g.cache()
+    try:
+        qs = [i / n_bins for i in range(1, n_bins)]
+        bounds = sorted(set(b for b in g.approxQuantile("s", qs, 0.001) if b is not None))
+    except Exception:  # empty input
+        bounds = []
+    if bounds:
+        bin_expr = sum(
+            ((F.col("s") > F.lit(b)).cast("int") for b in bounds), F.lit(0)
+        )
+    else:
+        bin_expr = F.lit(0)
+    gb = g.withColumn("bin", bin_expr)
+    # strictly-below cumulative negatives within each bin (partitioned window)
+    w_in = (
+        Window.partitionBy("bin")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gb = gb.withColumn("cumneg_in", F.coalesce(F.sum("neg").over(w_in), F.lit(0)))
+    # per-bin totals: ≤ n_bins rows — a bounded driver-side prefix sum
+    totals = {r["bin"]: r["bneg"] for r in
+              gb.groupBy("bin").agg(F.sum("neg").alias("bneg")).collect()}
+    offset, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = offset
+        offset += totals[b]
+    if offsets:
+        off_expr = F.coalesce(
+            F.try_element_at(
+                F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+                F.col("bin"),
+            ),
+            F.lit(0),
+        ).cast("long")
+    else:
+        off_expr = F.lit(0).cast("long")
+    agg = gb.agg(
+        F.sum(
+            F.col("pos") * (off_expr + F.col("cumneg_in") + F.col("neg") / 2.0)
+        ).alias("num"),
+        F.sum("pos").alias("npos"),
+        F.sum("neg").alias("nneg"),
     )
     return agg.select(
         F.round(
-            (F.col("rpos") - F.col("npos") * (F.col("npos") + 1) / 2.0)
-            / F.greatest(F.col("npos") * F.col("nneg"), F.lit(1)),
+            F.col("num") / F.greatest(F.col("npos") * F.col("nneg"), F.lit(1)),
             6,
         ).alias("auroc")
     )

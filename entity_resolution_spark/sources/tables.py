@@ -38,10 +38,40 @@ def read_records_csv(spark: SparkSession, path: str, encoding: str = "cp1252") -
 
 
 def with_record_id(df: DataFrame, order_col: str | None = None) -> DataFrame:
-    """Stable 0-based record index for fixtures (mirrors the pandas row index
-    the reference uses as record identity).  Only for small parity fixtures —
-    real pipelines use xxhash64(url)."""
+    """Stable 0-based record index (mirrors the pandas row index the reference
+    uses as record identity).  Real pipelines use xxhash64(url).
+
+    zipWithIndex-style assignment: one tiny count-per-partition job feeds a
+    per-partition offset, and ranks within each partition come from a
+    **partitioned** window — no single-partition global sort.  Pass
+    ``order_col`` for a deterministic ordering basis (the data is range-
+    repartitioned + sorted on it first); with ``order_col=None`` ids follow
+    the source's partition/row order, which is only stable for deterministic
+    scans (parquet/CSV fixtures).
+    """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.monotonically_increasing_id() if order_col is None else F.col(order_col))
-    return df.withColumn("record_id", F.row_number().over(w).cast("long") - 1)
+    if order_col is not None:
+        df = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
+    part = df.withColumn("_pid", F.spark_partition_id())
+    sizes = part.groupBy("_pid").count().collect()  # one row per partition
+    offsets, off = {}, 0
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = off
+        off += r["count"]
+    if offsets:
+        off_expr = F.coalesce(
+            F.try_element_at(
+                F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        ).cast("long")
+    else:
+        off_expr = F.lit(0).cast("long")
+    w = Window.partitionBy("_pid").orderBy(
+        F.monotonically_increasing_id() if order_col is None else F.col(order_col)
+    )
+    return part.withColumn(
+        "record_id", F.row_number().over(w).cast("long") - 1 + off_expr
+    ).drop("_pid")
