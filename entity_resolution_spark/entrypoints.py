@@ -1082,6 +1082,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "two_stage_blocks": f"""
             SELECT DISTINCT doc_id AS record_id,
+                   'initial_block-lang_exact:' || lower(lang) AS block_key
+            FROM documents
+            UNION
+            SELECT DISTINCT doc_id AS record_id,
                    'initial_block-lang_exact:' || lower(lang)
                    || '-title_phonetic_combination:' || block_key AS block_key
             FROM (

@@ -70,8 +70,15 @@ def block(
     """Return the long-form block table ``(record_id, block_key)``, distinct.
 
     Multi-stage scenarios nest: stage-2 keys only co-block records that already
-    share a stage-1 key, which the composite ``concat_ws`` key encodes exactly
-    like the reference's ``parent_key + "-{feature}_{rule}:{key}"``.
+    share a stage-1 key, which the composite key encodes exactly like the
+    reference's ``parent_key + "-{feature}_{rule}:{key}"``.
+
+    **Every hierarchy level is emitted**, not just the deepest: the reference's
+    ``_track_pair_provenance_and_weights`` (``block_tree.py:161-199``) counts
+    pair co-occurrence in the blocks of every level ≥ 1 (only the level-0 root
+    is skipped), so a pair sharing a stage-1 key *and* a stage-2 composite key
+    has weight 2.  Emitting the cumulative prefix key per stage reproduces
+    that: level L's block key is the concat of stages 1..L.
     """
     out = df
     key_cols: list[Column] = []
@@ -81,9 +88,13 @@ def block(
         key_cols.append(
             F.concat(F.lit(f"-{stage.feature}_{stage.rule_name}:"), F.col(kc))
         )
+    level_keys = [
+        F.concat(F.lit(initial_block), *key_cols[: depth + 1])
+        for depth in range(len(key_cols))
+    ]
     blocks = out.select(
         F.col(id_col).alias("record_id"),
-        F.concat(F.lit(initial_block), *key_cols).alias("block_key"),
+        F.explode(F.array(*level_keys)).alias("block_key"),
     ).distinct()  # frozenset semantics: one membership per (record, key)
 
     if max_block_size is not None:

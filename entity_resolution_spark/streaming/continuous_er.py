@@ -5,18 +5,24 @@
 *delta* edges, appends them to a cumulative pruned-edge table, and recomputes
 the entity assignment by connected components over the cumulative edges.
 
-The delta-edge recompute is exact, not approximate, because of two
-monotonicity facts:
+The delta-edge recompute is exact, not approximate — including for
+*re-crawled* urls (a record_id whose key set grows across batches), because:
 
-1. an existing pair's weight never changes when new records arrive (its
-   shared-key set is fixed at insert time);
-2. every shared key of a (new, old) or (new, new) pair is a key of the new
-   record, i.e. lies in a block *touched by this batch*.
+1. pair weights are monotone: the cumulative blocks table only gains
+   (record_id, block_key) rows, so a pair's distinct-shared-key count never
+   shrinks, and an edge that crossed the prune threshold stays crossed;
+2. a pair's weight can only change when one of its records appears in the
+   batch, and every shared key of such a pair is one of that record's
+   *cumulative* keys — so "touched blocks" is defined as all blocks holding
+   any cumulative key of any record_id seen in this batch (not merely the
+   batch's own new keys), and the per-batch weight over touched blocks is
+   the full cumulative weight.
 
 So per batch it suffices to generate pairs inside touched blocks, keep those
-involving ≥1 new record, weight+prune them, and append.  Component ids are
-min-record-id, hence deterministic regardless of arrival order — the final
-assignment equals the batch pipeline's on the same cumulative input.
+involving ≥1 batch record, weight+prune them, and append (re-emitting a pair
+at a higher weight is harmless — components use edges as a set).  Component
+ids are min-record-id, hence deterministic regardless of arrival order — the
+final assignment equals the batch pipeline's on the same cumulative input.
 """
 
 from __future__ import annotations
@@ -59,10 +65,18 @@ class ContinuousER:
         new_blocks.write.mode("append").parquet(self._path("blocks"))
         blocks = self.spark.read.parquet(self._path("blocks")).distinct()
 
-        # Delta edges: pairs inside touched blocks involving >=1 new record.
-        affected_keys = new_blocks.select("block_key").distinct()
-        touched = blocks.join(F.broadcast(affected_keys), "block_key")
+        # Delta edges: pairs inside touched blocks involving >=1 batch record.
+        # Touched = every block holding ANY cumulative key of a batch record —
+        # a re-crawled url's earlier keys count toward pair weights too (a
+        # batch-keys-only delta would undercount pairs whose shared keys span
+        # batches and never emit their edge).
         new_ids = new_blocks.select("record_id").distinct()
+        affected_keys = (
+            blocks.join(F.broadcast(new_ids), "record_id")
+            .select("block_key")
+            .distinct()
+        )
+        touched = blocks.join(F.broadcast(affected_keys), "block_key")
         raw_pairs = P.candidate_pairs(touched, distinct=False)
         n1 = new_ids.withColumnRenamed("record_id", "id1").withColumn("_n1", F.lit(1))
         n2 = new_ids.withColumnRenamed("record_id", "id2").withColumn("_n2", F.lit(1))

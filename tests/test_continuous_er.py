@@ -37,6 +37,32 @@ def test_continuous_er_matches_batch(spark, tmp_path):
     assert m["f1"] == 1.0
 
 
+def test_continuous_er_recrawl_cross_batch_weight(spark, tmp_path):
+    """A re-crawled url whose pair crosses the prune threshold only across
+    batches: u1 shares one key with u2 in batch 1 (title 'ago' ∩ 'axu' =
+    {'a'}) and a different key after re-crawl in batch 2 ('baxu' ∩ 'axu' =
+    {'axu'}).  Cumulative weight 2 > 1.5 ⇒ same component — a batch-keys-only
+    delta would never emit this edge."""
+    cer = ContinuousER(spark, str(tmp_path / "state3"))
+    cer.process_batch(
+        spark.createDataFrame(
+            [("u1", "ago filler words"), ("u2", "axu other words")], ["url", "text"]
+        ),
+        0,
+    )
+    cer.process_batch(
+        spark.createDataFrame([("u1", "baxu recrawled body")], ["url", "text"]), 1
+    )
+    got = {r["record_id"]: r["component_id"] for r in cer.current_assignment().collect()}
+    ids = {
+        r["url"]: r["record_id"]
+        for r in spark.createDataFrame([("u1",), ("u2",)], ["url"])
+        .withColumn("record_id", F.xxhash64("url"))
+        .collect()
+    }
+    assert got[ids["u1"]] == got[ids["u2"]]
+
+
 def test_continuous_er_streaming_query(spark, tmp_path):
     """Through the real writeStream.foreachBatch path."""
     corpus = make_pages(n_entities=12)

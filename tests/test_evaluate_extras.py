@@ -56,10 +56,13 @@ def test_two_stage_blocking_composite_keys(spark):
     got = {
         (r["id1"], r["id2"]): r["weight"] for r in P.edge_weights(blocks).collect()
     }
-    # records 1,2 share title keys x date keys; 3 shares only title stage-1
-    # (different date -> different composite); 4 shares nothing
-    assert got and all(k == (1, 2) for k in got)
-    assert got[(1, 2)] == 5 * 3  # 5 phonetic keys x 3 date keys
+    # Reference weight semantics (block_tree.py:161-199): co-occurrence counts
+    # in EVERY hierarchy level's blocks (level 0 skipped).  1,2 share 5
+    # stage-1 title blocks + 5x3 stage-2 composites; 3 shares only the 5
+    # stage-1 title blocks with each of 1,2 (different date); 4 shares nothing.
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == 5 + 5 * 3
+    assert got[(1, 3)] == 5 and got[(2, 3)] == 5
 
 
 def test_pipeline_deterministic_across_partitioning(spark):
