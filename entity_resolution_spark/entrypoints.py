@@ -710,6 +710,166 @@ def _keep_list_sql(jaccard_threshold: float = 0.8) -> str:
     """
 
 
+# A..Z soundex codes; '7' marks H/W (skipped without resetting the last code),
+# '0' marks vowels (skipped but resetting it) — the exact automaton of Spark's
+# built-in soundex (UTF8String.soundex), verified char-for-char in tests.
+_SOUNDEX_MAP = "01230127022455012623017202"
+
+
+def _soundex_sql() -> str:
+    """Recursive-CTE replica of Spark's ``soundex`` over trimmed titles.
+
+    Walks the uppercased string one char at a time carrying (sx, sxi, last)
+    state; non-letters reset ``last`` to '0'; code '7' (H/W) is skipped with
+    ``last`` unchanged; a non-letter *first* char returns the input unchanged
+    (Spark's passthrough behavior).  Titles are ASCII, so char-level equals
+    Spark's byte-level walk.
+    """
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, trim({_TITLE_SQL}) AS s FROM documents
+        ),
+        up AS (SELECT doc_id, s, upper(s) AS u FROM t),
+        walk(doc_id, i, n, sx, sxi, last) AS (
+            SELECT doc_id, 2, length(u), substr(u, 1, 1), 1,
+                   substr('{_SOUNDEX_MAP}', ascii(substr(u, 1, 1)) - 64, 1)
+            FROM up
+            WHERE length(u) > 0 AND substr(u, 1, 1) BETWEEN 'A' AND 'Z'
+            UNION ALL
+            SELECT doc_id, i + 1, n,
+                   CASE WHEN code IS NOT NULL AND code NOT IN ('7', '0')
+                             AND code <> last
+                        THEN sx || code ELSE sx END,
+                   CASE WHEN code IS NOT NULL AND code NOT IN ('7', '0')
+                             AND code <> last
+                        THEN sxi + 1 ELSE sxi END,
+                   CASE WHEN code IS NULL THEN '0'
+                        WHEN code = '7' THEN last
+                        ELSE code END
+            FROM (
+                SELECT w.doc_id, w.i, w.n, w.sx, w.sxi, w.last,
+                       CASE WHEN substr(u.u, w.i, 1) BETWEEN 'A' AND 'Z'
+                            THEN substr('{_SOUNDEX_MAP}',
+                                        ascii(substr(u.u, w.i, 1)) - 64, 1)
+                            END AS code
+                FROM walk w JOIN up u USING (doc_id)
+                WHERE w.i <= w.n AND w.sxi < 4
+            )
+        ),
+        finals AS (
+            SELECT doc_id, rpad(sx, 4, '0') AS soundex,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+            FROM walk
+        )
+        SELECT doc_id, soundex FROM finals WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, s AS soundex FROM up
+        WHERE length(u) = 0 OR NOT substr(u, 1, 1) BETWEEN 'A' AND 'Z'
+    """
+
+
+def _mp_in(x: str, chars: str) -> str:
+    """SQL for the Python idiom ``x in "<chars>"`` — which is *substring*
+    containment, so the empty string (past-end sentinel) matches ANY charset.
+    The reference-faithful quirk: a trailing W/Y is kept, a final "TI" → X,
+    a final G → J, etc., because ``'' in "AEIOU"`` is True in Python."""
+    lst = ",".join(f"'{c}'" for c in chars)
+    return f"({x} = '' OR {x} IN ({lst}))"
+
+
+_MP_VOWELS = "AEIOU"
+
+_MP_EMIT = f"""CASE
+    WHEN i > 1 AND c = prev AND c <> 'C' THEN ''
+    WHEN c IN ('A','E','I','O','U') THEN CASE WHEN i = 1 THEN c ELSE '' END
+    WHEN c = 'B' THEN CASE WHEN i = n AND i > 1 AND prev = 'M' THEN '' ELSE 'B' END
+    WHEN c = 'C' THEN CASE WHEN nxt = 'I' AND nxt2 = 'A' THEN 'X'
+                           WHEN nxt = 'H' THEN
+                               CASE WHEN i > 1 AND prev = 'S' THEN 'K' ELSE 'X' END
+                           WHEN {_mp_in('nxt', 'IEY')} THEN 'S'
+                           ELSE 'K' END
+    WHEN c = 'D' THEN CASE WHEN nxt = 'G' AND {_mp_in('nxt2', 'EIY')} THEN 'J' ELSE 'T' END
+    WHEN c = 'G' THEN CASE WHEN nxt = 'H' THEN
+                               CASE WHEN i + 2 > n OR nxt2 IN ('A','E','I','O','U')
+                                    THEN 'K' ELSE '' END
+                           WHEN nxt = 'N' THEN ''
+                           WHEN {_mp_in('nxt', 'IEY')} THEN 'J'
+                           ELSE 'K' END
+    WHEN c = 'H' THEN CASE WHEN i > 1 AND prev IN ('A','E','I','O','U')
+                                AND NOT {_mp_in('nxt', _MP_VOWELS)} THEN ''
+                           WHEN i > 1 AND prev IN ('C','S','P','T','G') THEN ''
+                           ELSE 'H' END
+    WHEN c IN ('F','J','L','M','N','R') THEN c
+    WHEN c = 'K' THEN CASE WHEN i > 1 AND prev = 'C' THEN '' ELSE 'K' END
+    WHEN c = 'P' THEN CASE WHEN nxt = 'H' THEN 'F' ELSE 'P' END
+    WHEN c = 'Q' THEN 'K'
+    WHEN c = 'S' THEN CASE WHEN nxt = 'H' THEN 'X'
+                           WHEN nxt = 'I' AND {_mp_in('nxt2', 'OA')} THEN 'X'
+                           ELSE 'S' END
+    WHEN c = 'T' THEN CASE WHEN nxt = 'H' THEN '0'
+                           WHEN nxt = 'I' AND {_mp_in('nxt2', 'OA')} THEN 'X'
+                           ELSE 'T' END
+    WHEN c = 'V' THEN 'F'
+    WHEN c = 'W' THEN CASE WHEN {_mp_in('nxt', _MP_VOWELS)} THEN 'W' ELSE '' END
+    WHEN c = 'X' THEN 'KS'
+    WHEN c = 'Y' THEN CASE WHEN {_mp_in('nxt', _MP_VOWELS)} THEN 'Y' ELSE '' END
+    WHEN c = 'Z' THEN 'S'
+    ELSE '' END"""
+
+_MP_ADV = f"""CASE
+    WHEN i > 1 AND c = prev AND c <> 'C' THEN 1
+    WHEN c = 'D' AND nxt = 'G' AND {_mp_in('nxt2', 'EIY')} THEN 2
+    WHEN c = 'G' AND nxt = 'H' THEN 2
+    ELSE 1 END"""
+
+
+def _metaphone_sql() -> str:
+    """Recursive-CTE replica of the classic Metaphone automaton
+    (``functions.blocking_keys._metaphone_one``): same initial-letter
+    exceptions, then a char walk where D(GE/GI/GY) and GH consume two chars.
+    SQL position ``i`` is 1-based (Python ``i`` + 1), so Python's
+    ``i + 2 >= n`` becomes ``i + 2 > n``.
+    """
+    return f"""
+        WITH RECURSIVE m0 AS (
+            SELECT doc_id,
+                   regexp_replace(upper(trim({_TITLE_SQL})), '[^A-Z]', '', 'g') AS w0
+            FROM documents
+        ),
+        m1 AS (
+            SELECT doc_id,
+                   CASE WHEN substr(w0, 1, 2) IN ('AE','GN','KN','PN','WR')
+                             THEN substr(w0, 2)
+                        WHEN substr(w0, 1, 1) = 'X' THEN 'S' || substr(w0, 2)
+                        WHEN substr(w0, 1, 2) = 'WH' THEN 'W' || substr(w0, 3)
+                        ELSE w0 END AS w
+            FROM m0
+        ),
+        walk(doc_id, i, n, out) AS (
+            SELECT doc_id, 1, length(w), '' FROM m1 WHERE length(w) >= 1
+            UNION ALL
+            SELECT doc_id, i + ({_MP_ADV}), n, out || ({_MP_EMIT})
+            FROM (
+                SELECT w.doc_id, w.i, w.n, w.out,
+                       substr(m.w, w.i, 1) AS c,
+                       CASE WHEN w.i > 1 THEN substr(m.w, w.i - 1, 1) ELSE '' END AS prev,
+                       substr(m.w, w.i + 1, 1) AS nxt,
+                       substr(m.w, w.i + 2, 1) AS nxt2
+                FROM walk w JOIN m1 m USING (doc_id)
+                WHERE w.i <= w.n
+            )
+        ),
+        finals AS (
+            SELECT doc_id, out,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rn
+            FROM walk
+        )
+        SELECT d.doc_id, coalesce(f.out, '') AS metaphone
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, out FROM finals WHERE rn = 1) f USING (doc_id)
+    """
+
+
 def _ann_lsh_sql(
     k: int = 5, n_planes: int = 8, n_tables: int = 4, dim: int = 64, seed: int = 42
 ) -> str:
@@ -1046,7 +1206,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _simhash_sql(max_hamming=8),
         "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
         "ann_lsh_topk": _ann_lsh_sql(),
-        # soundex_keys: rows-only (DuckDB has no soundex function)
+        "soundex_keys": _soundex_sql(),
+        "metaphone_keys": _metaphone_sql(),
         "score_histogram": f"""
             WITH scored AS (
             WITH {_EDGES_SQL},
