@@ -28,6 +28,8 @@ import pandas as pd
 EMBED_DIM = 128
 TOWER_DIM = 64
 HIDDEN_DIM = 512
+# Reference ``config.py:106`` tne_encoder_quality_num_categories
+N_QUALITY_CLASSES = 10
 
 # tower name -> number of scalar inputs (cos/sin pairs except tension 1-d +
 # adj pair; matches the reference's inputs_config grouping)
@@ -61,6 +63,23 @@ def init_weights(seed: int = 42) -> dict[str, np.ndarray]:
     w["head_b1"] = np.zeros(HIDDEN_DIM)
     w["head_w2"] = _he(rng, HIDDEN_DIM, EMBED_DIM)
     w["head_b2"] = np.zeros(EMBED_DIM)
+    # M5 aux reconstruction heads (reference tabular_numeric_encoder.py:71-75):
+    # linear taps off each tower's LOW-level activation reconstructing the
+    # tower's raw inputs — quality class logits (CE), quality scalar (present
+    # but excluded from the loss, as in the reference's wiring at
+    # train_pair_contrast.py:268-303), resonance/tension scalars (MSE),
+    # longevity (cos, sin) (MSE).  Drawn AFTER the main weights so existing
+    # embedding determinism (seed 42) is unchanged.
+    w["aux_quality_logits_w"] = _he(rng, TOWER_DIM, N_QUALITY_CLASSES)
+    w["aux_quality_logits_b"] = np.zeros(N_QUALITY_CLASSES)
+    w["aux_quality_scalar_w"] = _he(rng, TOWER_DIM, 1)
+    w["aux_quality_scalar_b"] = np.zeros(1)
+    w["aux_resonance_w"] = _he(rng, TOWER_DIM, 1)
+    w["aux_resonance_b"] = np.zeros(1)
+    w["aux_tension_w"] = _he(rng, TOWER_DIM, 1)
+    w["aux_tension_b"] = np.zeros(1)
+    w["aux_longevity_w"] = _he(rng, TOWER_DIM, 2)
+    w["aux_longevity_b"] = np.zeros(2)
     return w
 
 

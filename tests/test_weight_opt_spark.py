@@ -52,6 +52,16 @@ def test_weight_opt_on_spark_klsh(spark):
     assert len(w) == 9 and all(0 <= x <= 1 for x in w)
     assert v <= 0.0  # objective is a negated F1
 
+    # GP path with the reference's frozen-longevity quirk (dims 4/5 fixed
+    # during evaluation, sampled in the recorded vectors)
+    from entity_resolution_spark.ml.optimize import optimize_weights_gp
+
+    wg, vg, _ = optimize_weights_gp(
+        objective, n_weights=9, n_calls=4, early_stop_value=-1.0,
+        frozen={4: 0.5, 5: 0.5}, n_initial=3,
+    )
+    assert len(wg) == 9 and vg <= 0.0
+
 
 def test_cluster_embeddings_df(spark):
     rng = np.random.default_rng(5)
