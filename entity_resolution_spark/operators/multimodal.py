@@ -7,10 +7,13 @@ hygiene (never collect binaries, bound Arrow batch sizes) — while the actual
 codec step is pluggable:
 
 * a **deterministic synthetic codec** (``IMG1``/``AUD1``/``VID1`` headers,
-  raw payload) used by tests and fixtures, and
-* a clearly-marked hook that raises ``NotImplementedError`` for real formats
-  (JPEG/PNG/WAV/MP4) — the image/audio libraries are not in this container;
-  on a real cluster you plug Pillow/ffmpeg into ``decode_image_bytes`` etc.
+  raw payload) used by tests and fixtures,
+* **dependency-free real codecs**: uncompressed BMP (8-bit palette and
+  24-bit BGR), binary PGM (P5) / PPM (P6), and RIFF/WAVE PCM-16 audio —
+  parsed with ``struct``/``numpy`` only, and
+* a clearly-marked hook that raises ``NotImplementedError`` for compressed
+  formats (JPEG/PNG/MP3/MP4) — those codecs are not in this container; on a
+  real cluster you plug Pillow/ffmpeg into ``decode_image_bytes`` etc.
   without touching any Spark code.
 """
 
@@ -50,13 +53,136 @@ def encode_video(width: int, height: int, frames: list[np.ndarray]) -> bytes:
     return head + b"".join(f.astype(np.uint8).tobytes() for f in frames)
 
 
+# --- real formats (dependency-free parsers) --------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP from a grayscale array (R=G=B)."""
+    h, w = pixels.shape
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    img_size = row_size * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    px = pixels.astype(np.uint8)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = np.repeat(px[y], 3).tobytes()  # BGR, gray ⇒ identical bytes
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + info + b"".join(rows)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6) from a grayscale array (R=G=B)."""
+    h, w = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.repeat(
+        pixels.astype(np.uint8).ravel(), 3
+    ).tobytes()
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Minimal RIFF/WAVE, PCM 16-bit mono."""
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _luma(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic integer Rec.601 luma."""
+    return (
+        (299 * r.astype(np.uint32) + 587 * g.astype(np.uint32) + 114 * b.astype(np.uint32))
+        // 1000
+    ).astype(np.uint8)
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed BITMAPINFOHEADER BMP: 8-bit palette or 24-bit BGR."""
+    off = struct.unpack("<I", data[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", data[14:26])
+    bpp, comp = struct.unpack("<HI", data[28:34])
+    if hdr_size < 40 or comp != 0 or bpp not in (8, 24):
+        raise NotImplementedError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    row_size = (w * (bpp // 8) + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=off)
+    rows = raw.reshape(h, row_size)
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(data, dtype=np.uint8, count=256 * 4, offset=pal_off).reshape(256, 4)
+        idx = rows[:, :w]
+        px = _luma(pal[idx, 2], pal[idx, 1], pal[idx, 0])
+    else:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        px = _luma(bgr[:, :, 2], bgr[:, :, 1], bgr[:, :, 0])
+    return w, h, px[::-1].copy() if flip else px
+
+
+def _decode_pnm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PGM (P5, grayscale) / PPM (P6, RGB) with comment support."""
+    magic = data[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    if magic == b"P5":
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=pos).reshape(h, w)
+        return w, h, px.copy()
+    rgb = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    return w, h, _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+
+
+def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE chunk walk; PCM (format 1) 16-bit, stereo averaged to mono."""
+    if data[8:12] != b"WAVE":
+        raise NotImplementedError("not a WAVE file")
+    pos, sr, n_ch, bits, pcm = 12, None, 1, 16, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, n_ch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 WAV supported (format={fmt_code}, bits={bits})"
+                )
+        elif cid == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or pcm is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    if n_ch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % n_ch].reshape(-1, n_ch)
+        pcm = pcm.mean(axis=1).astype(np.int16)
+    return sr, pcm
+
+
 def decode_image_bytes(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:4] == b"IMG1":
         w, h = struct.unpack("<II", data[4:12])
         px = np.frombuffer(data[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
         return w, h, px
-    # REAL-CODEC HOOK: plug Pillow here (`PIL.Image.open(io.BytesIO(data))`).
-    raise NotImplementedError("real image codecs (JPEG/PNG) not available in this container")
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    if data[:2] in (b"P5", b"P6"):
+        return _decode_pnm(data)
+    # REAL-CODEC HOOK for compressed formats: plug Pillow here
+    # (`PIL.Image.open(io.BytesIO(data))`).
+    raise NotImplementedError("compressed image codecs (JPEG/PNG) not available in this container")
 
 
 def decode_audio_bytes(data: bytes) -> tuple[int, np.ndarray]:
@@ -64,8 +190,10 @@ def decode_audio_bytes(data: bytes) -> tuple[int, np.ndarray]:
         sr, n = struct.unpack("<II", data[4:12])
         pcm = np.frombuffer(data[12 : 12 + 2 * n], dtype=np.int16)
         return sr, pcm
-    # REAL-CODEC HOOK: plug soundfile/librosa here.
-    raise NotImplementedError("real audio codecs (WAV/MP3) not available in this container")
+    if data[:4] == b"RIFF":
+        return _decode_wav(data)
+    # REAL-CODEC HOOK for compressed formats: plug soundfile/librosa here.
+    raise NotImplementedError("compressed audio codecs (MP3/AAC) not available in this container")
 
 
 def decode_video_bytes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
