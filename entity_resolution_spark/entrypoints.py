@@ -354,11 +354,14 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_estimate(sig, edges)
 
 
-def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=3 ⇒ 4×16-bit bands: the pigeonhole guarantee holds AND the
+    # buckets stay selective (a larger k needs k+1 narrower bands — supported,
+    # but candidate volume grows; 3 is the standard near-dup radius).
     from .operators import dedup
 
     sig = dedup.simhash_signatures(_doc(spark, sf_dir))
-    return dedup.simhash_near_pairs(sig, max_hamming=8)
+    return dedup.simhash_near_pairs(sig, max_hamming=3)
 
 
 def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1203,7 +1206,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_chars % 2 = 0 THEN 0.0 ELSE 1.0 END AS bool_sin
             FROM documents
         """,
-        "simhash_near_pairs": _simhash_sql(max_hamming=8),
+        "simhash_near_pairs": _simhash_sql(max_hamming=3),
         "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
         "ann_lsh_topk": _ann_lsh_sql(),
         "soundex_keys": _soundex_sql(),
@@ -1255,7 +1258,7 @@ def oracle_sql() -> dict[str, str]:
                     substr(s, 1, 2),
                     substr(s, 1, 3),
                     substr(s, greatest(length(s) - 2, 1), 3),
-                    regexp_replace(regexp_replace(s, '[^\p{{L}}]', '', 'g'), '[aeiou]', '', 'g')
+                    regexp_replace(regexp_replace(s, '[^\\p{{L}}]', '', 'g'), '[aeiou]', '', 'g')
                 ]) AS block_key
                 FROM (SELECT doc_id, lang, lower({_TITLE_SQL}) AS s FROM documents)
             )
