@@ -524,6 +524,24 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup e
     return dedup.dedup_keep_list(_doc(spark, sf_dir), jaccard_threshold=0.8)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints: k=5 grams, window 4."""
+    from .operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_doc(spark, sf_dir), k=5, window=4)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH buckets + exact filter."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    # testdata embeddings have no true near-dups (max pairwise cosine ≈0.48),
+    # so the demo threshold is 0.3: nonzero LSH-collision pairs to verify
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, dim=64
+    ).select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+
+
 def q_two_stage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:  # B6
     """Hierarchical blocking: lang (exact) stage 1, title phonetic stage 2 —
     composite keys only co-block docs agreeing on both."""
@@ -593,6 +611,8 @@ def _raw_queries() -> dict[str, QueryFn]:
         "two_stage_blocks": q_two_stage_blocks,
         "score_histogram": q_score_histogram,
         "dedup_keep_list": q_dedup_keep_list,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -870,6 +890,85 @@ def _metaphone_sql() -> str:
         SELECT d.doc_id, coalesce(f.out, '') AS metaphone
         FROM documents d
         LEFT JOIN (SELECT doc_id, out FROM finals WHERE rn = 1) f USING (doc_id)
+    """
+
+
+def _winnow_sql(k: int = 5, window: int = 4) -> str:
+    """SQL replica of ``dedup.winnow_fingerprints`` — same md5 gram hash,
+    same string-encoded (hash, rightmost-pos) window minimum."""
+    return f"""
+        WITH g AS (
+            SELECT doc_id, text, greatest(length(text) - {k - 1}, 0) AS n_grams
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, n_grams, text,
+                   unnest(generate_series(1, n_grams)) AS pos
+            FROM g WHERE n_grams >= 1
+        ),
+        hashed AS (
+            SELECT doc_id, n_grams, pos,
+                   ('0x' || substr(md5(substr(text, pos, {k})), 1, 15))::bigint AS h
+            FROM grams
+        ),
+        enc AS (
+            SELECT doc_id, n_grams, pos,
+                   min(printf('%020d', h) || printf('%010d', 1000000000 - pos))
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS sel
+            FROM hashed
+        )
+        SELECT DISTINCT doc_id,
+               1000000000 - substr(sel, 21, 10)::bigint AS fp_pos,
+               substr(sel, 1, 20)::bigint AS fp_hash
+        FROM enc
+        WHERE pos <= greatest(n_grams - {window - 1}, 1)
+    """
+
+
+def _embedding_near_dups_sql(
+    threshold: float = 0.9, n_planes: int = 8, n_tables: int = 4,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """SQL replica of ``dedup.embedding_near_dup_pairs`` (same literal SRP
+    hyperplanes as the ANN oracle, bucket self-join, exact cosine filter)."""
+    from .operators.ann import srp_plane_weight
+
+    table_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = ", ".join(
+                repr(srp_plane_weight(seed, t, p, i)) for i in range(dim)
+            )
+            bits.append(
+                f"(case when list_dot_product(embedding::DOUBLE[], [{plane}]) >= 0"
+                f" then {1 << (n_planes - 1 - p)} else 0 end)"
+            )
+        table_exprs.append("(" + " + ".join(bits) + f") AS b{t}")
+    sig_cols = ",\n               ".join(table_exprs)
+    band_union = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sigs" for t in range(n_tables)
+    )
+    return f"""
+        WITH sigs AS (SELECT vec_id, {sig_cols} FROM embeddings),
+        banded AS ({band_union}),
+        cands AS (
+            SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+            FROM banded l JOIN banded r
+              ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+        ),
+        scored AS (
+            SELECT id1, id2,
+                   list_dot_product(a.embedding, b.embedding)
+                   / (sqrt(list_dot_product(a.embedding, a.embedding))
+                      * sqrt(list_dot_product(b.embedding, b.embedding))) AS cos_raw
+            FROM cands
+            JOIN embeddings a ON a.vec_id = id1
+            JOIN embeddings b ON b.vec_id = id2
+        )
+        SELECT id1, id2, round(cos_raw, 4) AS cosine
+        FROM scored WHERE cos_raw >= {threshold}
     """
 
 
@@ -1211,6 +1310,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "soundex_keys": _soundex_sql(),
         "metaphone_keys": _metaphone_sql(),
+        "winnow_fingerprints": _winnow_sql(k=5, window=4),
+        "embedding_near_dups": _embedding_near_dups_sql(threshold=0.3),
         "score_histogram": f"""
             WITH scored AS (
             WITH {_EDGES_SQL},

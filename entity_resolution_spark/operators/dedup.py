@@ -354,6 +354,66 @@ def dedup_keep_list(
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): hash every character k-gram, then from each window of
+    ``window`` consecutive k-gram hashes select the minimum (rightmost
+    position on ties); the distinct selected (position, hash) pairs are the
+    document's fingerprints.  Guarantees any shared substring of length
+    ≥ k + window − 1 yields a shared fingerprint.
+
+    Plan: one explode over gram positions, hashes JVM-side (``_md5_long``),
+    the per-window minimum via a **partitioned** window (per doc, ordered by
+    position — never global).  The rightmost-tie-break is encoded
+    arithmetically: min over ``'%020d' % hash || '%010d' % (10^9 − pos)``
+    ranks equal hashes by descending position, and the winner decodes back
+    out of the string — the same expression runs in the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    n_grams = F.greatest(F.length(text_col) - (k - 1), F.lit(0))
+    grams = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+                    n_grams.alias("n_grams"))
+        .where(F.col("n_grams") >= 1)
+        .select(
+            "id", "n_grams", "_t",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        )
+        .select(
+            "id", "n_grams", "pos",
+            _md5_long(F.col("_t").substr(F.col("pos"), F.lit(k))).alias("h"),
+        )
+    )
+    enc = F.concat(
+        F.format_string("%020d", F.col("h")),
+        F.format_string("%010d", F.lit(1_000_000_000) - F.col("pos")),
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    sel = (
+        grams.withColumn("sel", F.min(enc).over(w))
+        # only full windows (plus the single partial window of a short doc)
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - (window - 1), F.lit(1)))
+        .select(
+            F.col("id").alias(id_col),
+            (F.lit(1_000_000_000) - F.substring("sel", 21, 10).cast("long")).alias("fp_pos"),
+            F.substring("sel", 1, 20).cast("long").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 
@@ -364,17 +424,19 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold: SRP-LSH buckets → exact cosine filter."""
     from ..functions.similarity import cosine
     from .ann import _srp_signature
 
-    first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if first is None:  # empty / all-null input → empty result, same schema
-        return embeddings.sparkSession.createDataFrame(
-            [], "id1 long, id2 long, cosine double"
-        )
-    dim = len(first[0])
+    if dim is None:
+        first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if first is None:  # empty / all-null input → empty result, same schema
+            return embeddings.sparkSession.createDataFrame(
+                [], "id1 long, id2 long, cosine double"
+            )
+        dim = len(first[0])
     band_structs = F.array(
         *[
             F.struct(

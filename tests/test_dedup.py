@@ -116,3 +116,39 @@ def test_dedup_keep_list(spark):
     assert got[5] == (4, False)
     # kept set = one representative per group
     assert sorted(k for k, (kid, kept) in got.items() if kept) == [1, 4]
+
+
+def test_winnow_fingerprints_guarantee_and_ties(spark):
+    """Winnowing guarantee (SIGMOD'03): documents sharing a substring of
+    length >= k + window - 1 share >= 1 fingerprint hash; and the per-window
+    minimum breaks hash ties by the rightmost position."""
+    k, w = 5, 4
+    shared = "abcdefgh"  # length 8 = k + w - 1
+    rows = [
+        (1, "xxxx" + shared + "yyyyyy"),
+        (2, "qqqqqqq" + shared + "pppp"),
+        (3, "zzzzzzzzzzzzzzzzzz"),
+    ]
+    d = _docs(spark, rows)
+    fp = dedup.winnow_fingerprints(d, k=k, window=w)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # tie-break: an all-identical-gram doc has one hash; selected positions
+    # must be the RIGHTMOST of each window -> positions step by 1 from w'th
+    sel = sorted(
+        (r["fp_pos"]) for r in fp.where("doc_id = 3").collect()
+    )
+    n_grams = len(rows[2][1]) - (k - 1)
+    assert sel == list(range(w, n_grams + 1)), sel
+
+
+def test_winnow_short_doc(spark):
+    """Doc shorter than k+window still yields >= 1 fingerprint (partial
+    window), and empty-ish docs yield none."""
+    d = _docs(spark, [(1, "abcdef"), (2, "abc")])
+    got = dedup.winnow_fingerprints(d, k=5, window=4).collect()
+    docs = {r["doc_id"] for r in got}
+    assert 1 in docs and 2 not in docs  # len 3 < k -> no grams
