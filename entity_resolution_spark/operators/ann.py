@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,6 +115,115 @@ def _srp_signature(vec_col, dim: int, n_planes: int, table: int, seed: int = 42)
     for b in bits[1:]:
         sig = sig * 2 + b
     return sig
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    seed: int = 42,
+):
+    """Coarse quantizer for IVF: deterministic bounded sample (ordered by
+    ``xxhash64(id)``, so partition-count-invariant) → driver-side seeded
+    KMeans (``ml.kmeans``).  The sample cap makes this O(sample·dim) on the
+    driver regardless of corpus size — the standard IVF training shape."""
+    from ..ml.kmeans import kmeans_fit_predict
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("empty corpus")
+    k = min(n_lists, len(X))
+    labels, _ = kmeans_fit_predict(X, k, seed=seed, n_init=4)
+    centers = np.vstack(
+        [X[labels == c].mean(axis=0) if (labels == c).any() else X[0] for c in range(k)]
+    )
+    return centers
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer → inverted lists → probe the
+    ``n_probe`` nearest lists per query → exact cosine rerank.
+
+    The corpus is assigned to lists with one Arrow-batched pandas UDF pass
+    (centroids broadcast, vectorized argmin) and NEVER shuffled by vector —
+    only (query, candidate) id pairs from the probed lists move.  With
+    ``n_probe == n_lists`` the result equals the brute-force baseline.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_lists, id_col=id_col, vec_col=vec_col
+        )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    probe = min(n_probe, len(centroids))
+
+    def _d2(Xb: np.ndarray) -> np.ndarray:
+        C = bc.value
+        return (
+            (Xb**2).sum(axis=1, keepdims=True)
+            - 2.0 * Xb @ C.T
+            + (C**2).sum(axis=1)[None, :]
+        )
+
+    @pandas_udf(IntegerType())
+    def nearest_list(v: pd.Series) -> pd.Series:
+        Xb = np.stack(v.to_numpy())
+        return pd.Series(_d2(Xb).argmin(axis=1).astype("int32"))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_lists(v: pd.Series) -> pd.Series:
+        Xb = np.stack(v.to_numpy())
+        d2 = _d2(Xb)
+        idx = np.argsort(d2, axis=1)[:, :probe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("list_id", nearest_list("cv"))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("list_id", F.explode(probe_lists("qv")))
+    )
+    cands = (
+        q.join(c, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+    )
+    sims = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
+    )
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    return out
 
 
 def lsh_topk(

@@ -1,0 +1,69 @@
+"""ANN: exact baseline vs SRP-LSH vs IVF (KMeans coarse quantizer)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators import ann
+
+
+def _clustered_embeddings(spark, n_clusters=4, per_cluster=30, dim=16, seed=9):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 5.0, size=(n_clusters, dim))
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.normal(0, 0.3, dim)
+            rows.append((i, c, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+
+
+def _topk_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+    return {q: sorted(v, key=lambda t: (-t[1], t[0])) for q, v in out.items()}
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 8)
+    exact = _topk_map(ann.cosine_topk(q, emb, k=5, round_to=6))
+    ivf = _topk_map(
+        ann.ivf_topk(q, emb, k=5, n_lists=6, n_probe=6, round_to=6)
+    )
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 10)
+    exact = _topk_map(ann.cosine_topk(q, emb, k=5, round_to=6))
+    ivf = _topk_map(ann.ivf_topk(q, emb, k=5, n_lists=6, n_probe=2, round_to=6))
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        want = {n for n, _ in nbrs}
+        got = {n for n, _ in ivf.get(qid, [])}
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_deterministic(spark):
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ann.ivf_topk(q, emb, k=3, n_lists=4, n_probe=2, round_to=6).collect()))
+    b = sorted(map(tuple, ann.ivf_topk(q.repartition(7), emb.repartition(5), k=3, n_lists=4, n_probe=2, round_to=6).collect()))
+    assert a == b
+
+
+def test_lsh_topk_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    got = ann.lsh_topk(empty, empty, k=3)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["query_id", "neighbor_id", "cosine"]
