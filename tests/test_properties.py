@@ -111,3 +111,59 @@ def test_spark_cc_vs_union_find_randomized(spark):
             for r in components.assign_components(v, e).collect()
         }
         assert got == exp, f"trial {trial}: mismatch"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.booleans()), min_size=2, max_size=60
+    ).filter(lambda xs: len({y for _, y in xs}) == 2)
+)
+@settings(max_examples=30, deadline=None)
+def test_auroc_binned_equals_naive_ranksum(spark, pairs):
+    """The binned, partitioned-window AUROC must equal the naive tie-corrected
+    rank-sum on arbitrary (score, label) multisets."""
+    from entity_resolution_spark.operators.evaluate import auroc
+
+    scores = np.array([s / 10.0 for s, _ in pairs])
+    ys = np.array([1 if y else 0 for _, y in pairs])
+    # naive: average ranks (scipy-free)
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=float)
+    sorted_s = scores[order]
+    i = 0
+    while i < len(sorted_s):
+        j = i
+        while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    npos, nneg = ys.sum(), (1 - ys).sum()
+    expect = (ranks[ys == 1].sum() - npos * (npos + 1) / 2.0) / max(npos * nneg, 1)
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in zip(scores, ys)], "score double, is_match boolean"
+    )
+    got = auroc(df, n_bins=4).collect()[0]["auroc"]
+    assert abs(got - round(float(expect), 6)) <= 1e-6, (got, expect)
+
+
+@given(st.integers(0, 16), st.integers(0, 2**60 - 1), st.integers(0, 2**60 - 1))
+@settings(max_examples=200, deadline=None)
+def test_simhash_banding_pigeonhole(k, a, b):
+    """For any two signatures within Hamming distance k, the (k+1)-band split
+    from simhash_bands guarantees at least one identical band."""
+    from entity_resolution_spark.operators.dedup import simhash_bands
+
+    # force hamming(a, b) <= k by copying a and flipping at most k bits
+    rng = np.random.default_rng((a ^ b) % (2**32))
+    b2 = a
+    for bit in rng.choice(60, size=min(k, 60), replace=False):
+        if rng.random() < 0.7:
+            b2 ^= 1 << int(bit)
+    hamming = bin(a ^ b2).count("1")
+    assert hamming <= k
+    bands = simhash_bands(max_hamming=k)
+    shared = any(
+        (a >> off) & ((1 << w) - 1) == (b2 >> off) & ((1 << w) - 1)
+        for off, w in bands
+    )
+    assert shared
