@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = "doc_id long, width int, height int, channels int, mean_luma double"
 AUDIO_META_SCHEMA = "doc_id long, sample_rate int, n_samples int, duration_s double, rms double"
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame png binary".replace(" png", "")
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
 # ---------------------------------------------------------------------------
