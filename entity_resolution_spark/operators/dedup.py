@@ -103,6 +103,7 @@ def minhash_band_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding join → distinct candidate (id1, id2) pairs.
 
@@ -110,7 +111,15 @@ def minhash_band_pairs(
     signature row — one pass over the signature aggregation instead of one
     union branch per band (a per-band union re-evaluates the upstream
     signature subplan ``bands``× per join side).
+
+    ``materialize`` checkpoints the signature table before the self-join:
+    Spark does not reuse the build subplan across the two sides of a
+    broadcast self-join, so without it the (tokenize + H×md5 min-agg)
+    signature computation runs twice.  The signature table is 1 row/doc with
+    H longs — the cheapest point in the pipeline to cut lineage.
     """
+    if materialize:
+        signatures = signatures.localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -219,10 +228,16 @@ def simhash_near_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidates via band buckets (``max_hamming + 1`` contiguous bands ⇒
     pigeonhole guarantees any pair with Hamming ≤ max_hamming shares ≥ 1
-    band), then exact Hamming filter."""
+    band), then exact Hamming filter.
+
+    ``materialize`` checkpoints the 1-row/doc signature table so the 64
+    per-bit sums aren't recomputed on both sides of the self-join."""
+    if materialize:
+        signatures = signatures.localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -450,6 +465,9 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.explode(band_structs).alias("bb"),
     ).select("id", "v", F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket"))
+    # the SRP projections (n_tables × n_planes dot products per vector) are
+    # not subplan-reused across a broadcast self-join — compute them once
+    banded = banded.localCheckpoint(eager=False)
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(r, ["tbl", "bucket"])
