@@ -206,9 +206,14 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: exac
 
 
 def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup: jaccard
+    # edges (small output, expensive chain) feeds the intersection AND the
+    # final join — checkpoint it; tok is long-form and cheaper to recompute
     tok = _tokens(spark, sf_dir)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    edges = pairs.prune(_edges(spark, sf_dir)).select("id1", "id2")
+    edges = (
+        pairs.prune(_edges(spark, sf_dir)).select("id1", "id2")
+        .localCheckpoint(eager=False)
+    )
     t1 = tok.select(F.col("doc_id").alias("id1"), "tok")
     t2 = tok.select(F.col("doc_id").alias("id2"), "tok")
     inter = (

@@ -278,7 +278,14 @@ def ngram_jaccard_pairs(
     n: int = 3,
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Exact character-n-gram Jaccard for the given candidate pairs."""
+    """Exact character-n-gram Jaccard for the given candidate pairs.
+
+    The pair table (small rows, typically an expensive blocking→prune chain)
+    is checkpointed — it feeds the intersection AND the final join.  The
+    shingle table is deliberately NOT: it is multi-million-row long form, and
+    re-running the codegen'd position-explode per reference is cheaper than
+    storing and re-reading it (measured at sf0.1)."""
+    pairs_df = pairs_df.localCheckpoint(eager=False)
     sh = char_shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     s1 = sh.select(F.col("id").alias("id1"), "shingle")
@@ -329,7 +336,9 @@ def dedup_keep_list(
 
     ids = docs.select(F.col(id_col).alias("id")).distinct()
     # exact: same fingerprint → edge to group min (cheap, no pair explosion)
-    fp = docs.select(F.col(id_col).alias("id"), md5_fingerprint(F.col(text_col)).alias("fp"))
+    fp = docs.select(
+        F.col(id_col).alias("id"), md5_fingerprint(F.col(text_col)).alias("fp")
+    ).localCheckpoint(eager=False)  # referenced by the group-min agg AND the edge join
     fp_min = fp.groupBy("fp").agg(F.min("id").alias("keep"))
     exact_edges = (
         fp.join(fp_min, "fp")
