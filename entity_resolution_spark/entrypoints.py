@@ -547,6 +547,33 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id1", "id2", F.round("cosine", 4).alias("cosine"))
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap rule) — the hash-verified analog of
+    the stateful streaming session operator (streaming/stream_ops.py).
+    Per-user partitioned windows only; deterministic ordering by (ts,
+    event_id)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-granularity diff: at the timestamps' native resolution the
+    # engines agree exactly (second-granularity date_diff counts boundary
+    # crossings in DuckDB but floors elapsed time in Spark)
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    brk = F.when(F.col("_prev_ts").isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    s = e.withColumn("_prev_ts", F.lag("ts").over(w)).withColumn("brk", brk).withColumn(
+        "session_idx",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def q_two_stage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:  # B6
     """Hierarchical blocking: lang (exact) stage 1, title phonetic stage 2 —
     composite keys only co-block docs agreeing on both."""
@@ -618,6 +645,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "dedup_keep_list": q_dedup_keep_list,
         "winnow_fingerprints": q_winnow_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -1317,6 +1345,29 @@ def oracle_sql() -> dict[str, str]:
         "metaphone_keys": _metaphone_sql(),
         "winnow_fingerprints": _winnow_sql(k=5, window=4),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.3),
+        "user_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER w, ts)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, value, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)::bigint AS session_idx
+                FROM o
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
         "score_histogram": f"""
             WITH scored AS (
             WITH {_EDGES_SQL},
