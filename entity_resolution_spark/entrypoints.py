@@ -574,6 +574,43 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP event_type × hour) — grouping-sets
+    coverage; NULL group markers replaced with sentinels so the oracle
+    compare is NULL-free."""
+    e = _events(spark, sf_dir).withColumn("hr", F.date_trunc("hour", F.col("ts")))
+    return (
+        e.rollup("event_type", "hr")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("hr").cast("long").alias("g_hr"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "g_type",
+            "g_hr",
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hr"), F.lit("1900-01-01 00:00:00").cast("timestamp_ntz")).alias("hr"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_docs_without_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape: documents with no STRONG edge (weight > 2.5 — the
+    default 1.5 prune leaves zero orphans in this corpus, so the demo uses
+    the stricter cut to make the anti-join non-trivial)."""
+    pruned = pairs.prune(_edges(spark, sf_dir), threshold=2.5)
+    ids = (
+        pruned.select(F.col("id1").alias("doc_id"))
+        .union(pruned.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    return _doc(spark, sf_dir).select("doc_id", "lang").join(ids, "doc_id", "left_anti")
+
+
 def q_two_stage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:  # B6
     """Hierarchical blocking: lang (exact) stage 1, title phonetic stage 2 —
     composite keys only co-block docs agreeing on both."""
@@ -646,6 +683,8 @@ def _raw_queries() -> dict[str, QueryFn]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "embedding_near_dups": q_embedding_near_dups,
         "user_sessions": q_user_sessions,
+        "event_rollup": q_event_rollup,
+        "docs_without_edges": q_docs_without_edges,
     }
 
 
@@ -1345,6 +1384,23 @@ def oracle_sql() -> dict[str, str]:
         "metaphone_keys": _metaphone_sql(),
         "winnow_fingerprints": _winnow_sql(k=5, window=4),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.3),
+        "event_rollup": """
+            SELECT grouping(event_type)::bigint AS g_type,
+                   grouping(hr)::bigint AS g_hr,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hr, TIMESTAMP '1900-01-01 00:00:00') AS hr,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events)
+            GROUP BY ROLLUP(event_type, hr)
+        """,
+        "docs_without_edges": f"""
+            WITH {_EDGES_SQL},
+            pruned AS (SELECT id1, id2 FROM edges WHERE weight > 2.5),
+            ids AS (SELECT id1 AS doc_id FROM pruned UNION SELECT id2 FROM pruned)
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM ids i WHERE i.doc_id = d.doc_id)
+        """,
         "user_sessions": """
             WITH o AS (
                 SELECT user_id, event_id, ts, value,
