@@ -259,11 +259,20 @@ def run_scaling(sf_dir: str) -> None:
     * ceiling — 1 vs 4 concurrent *independent* pinned 8-core jobs: the
       machine's own 8→32 parallel-scaling limit with zero Spark coordination.
     """
+    n_cpus = os.cpu_count() or 8
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     tier1 = _tier(lo, sf_dir, "threads")
-    tier2 = _tier(8, sf_dir, "executors")
-    ceil = _ceiling(sf_dir)
-    norm = round(tier2["efficiency"] / max(ceil["ceiling_efficiency"], 1e-9), 3)
+    # tier 2 pins N vs 4N cores, so it needs >= 16; size it to the machine
+    # (largest multiple-of-4 core count) instead of assuming 32
+    if n_cpus >= 16:
+        t2_hi = (n_cpus // 4) * 4
+        tier2 = _tier(t2_hi // 4, sf_dir, "executors")
+        ceil = _ceiling(sf_dir, n_cores=t2_hi, worker_cores=t2_hi // 4)
+        norm = round(tier2["efficiency"] / max(ceil["ceiling_efficiency"], 1e-9), 3)
+    else:
+        tier2 = {"skipped": f"needs >= 16 cores, have {n_cpus}"}
+        ceil = {"skipped": f"needs >= 16 cores, have {n_cpus}"}
+        norm = None
     report = {"tier1_threads": tier1, "tier2_executors": tier2,
               "hw_ceiling": ceil, "tier2_normalized_efficiency": norm}
     print(json.dumps(report))
@@ -294,8 +303,11 @@ def run_scaling(sf_dir: str) -> None:
             "on this 1-socket 32-core box), not a property of the engine.\n\n"
             "| metric | value |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in ceil.items())
-            + f"\n**Tier-2 efficiency normalized by the hardware ceiling: "
-            f"{norm}** (= {tier2['efficiency']} / {ceil['ceiling_efficiency']}).\n"
+            + (
+                f"\n**Tier-2 efficiency normalized by the hardware ceiling: "
+                f"{norm}** (= {tier2['efficiency']} / {ceil['ceiling_efficiency']}).\n"
+                if norm is not None else "\n"
+            )
             "On hardware that does scale linearly (a real multi-node\n"
             "cluster, one executor per node), the normalized number is the\n"
             "expected efficiency; the shuffle-free plan itself adds no\n"

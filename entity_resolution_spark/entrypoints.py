@@ -448,7 +448,7 @@ def q_encoder_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows
                       F.round(F.element_at("embedding", 64), 5).alias("e63"))
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only (scale ANN)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # scale ANN (oracled)
     from .operators.ann import lsh_topk
 
     emb = _emb(spark, sf_dir)
@@ -499,7 +499,7 @@ def q_hash_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:  # B7
     )
 
 
-def q_metaphone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1 (rows-only)
+def q_metaphone_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1 (oracled)
     from .functions.blocking_keys import metaphone_udf
 
     return _title(spark, sf_dir).select(
@@ -523,7 +523,7 @@ def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:  # E6
     )
 
 
-def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup e2e (rows-only)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:  # dedup e2e (oracled)
     from .operators import dedup
 
     return dedup.dedup_keep_list(_doc(spark, sf_dir), jaccard_threshold=0.8)
@@ -998,12 +998,13 @@ def _winnow_sql(k: int = 5, window: int = 4) -> str:
     """
 
 
-def _embedding_near_dups_sql(
-    threshold: float = 0.9, n_planes: int = 8, n_tables: int = 4,
-    dim: int = 64, seed: int = 42,
-) -> str:
-    """SQL replica of ``dedup.embedding_near_dup_pairs`` (same literal SRP
-    hyperplanes as the ANN oracle, bucket self-join, exact cosine filter)."""
+def _srp_banded_sql(
+    n_planes: int, n_tables: int, dim: int, seed: int
+) -> tuple[str, str]:
+    """Shared SRP signature/banding SQL used by both ANN oracles: (sig_cols
+    select list, band_union over a CTE named ``sigs``).  One construction
+    point so the two oracles can never diverge from each other or from
+    ``ann._srp_signature``."""
     from .operators.ann import srp_plane_weight
 
     table_exprs = []
@@ -1022,6 +1023,16 @@ def _embedding_near_dups_sql(
     band_union = "\n            UNION ALL\n            ".join(
         f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sigs" for t in range(n_tables)
     )
+    return sig_cols, band_union
+
+
+def _embedding_near_dups_sql(
+    threshold: float = 0.9, n_planes: int = 8, n_tables: int = 4,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """SQL replica of ``dedup.embedding_near_dup_pairs`` (same literal SRP
+    hyperplanes as the ANN oracle, bucket self-join, exact cosine filter)."""
+    sig_cols, band_union = _srp_banded_sql(n_planes, n_tables, dim, seed)
     return f"""
         WITH sigs AS (SELECT vec_id, {sig_cols} FROM embeddings),
         banded AS ({band_union}),
@@ -1032,15 +1043,15 @@ def _embedding_near_dups_sql(
         ),
         scored AS (
             SELECT id1, id2,
-                   list_dot_product(a.embedding, b.embedding)
+                   round(list_dot_product(a.embedding, b.embedding)
                    / (sqrt(list_dot_product(a.embedding, a.embedding))
-                      * sqrt(list_dot_product(b.embedding, b.embedding))) AS cos_raw
+                      * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos6
             FROM cands
             JOIN embeddings a ON a.vec_id = id1
             JOIN embeddings b ON b.vec_id = id2
         )
-        SELECT id1, id2, round(cos_raw, 4) AS cosine
-        FROM scored WHERE cos_raw >= {threshold}
+        SELECT id1, id2, round(cos6, 4) AS cosine
+        FROM scored WHERE cos6 >= {threshold}
     """
 
 
@@ -1051,24 +1062,7 @@ def _ann_lsh_sql(
     data-independent constants, so the same Python helper that builds the
     Spark literals (``ann.srp_plane_weight``) emits them here as SQL list
     literals — bucket assignment is the same arithmetic in both engines."""
-    from .operators.ann import srp_plane_weight
-
-    table_exprs = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(n_planes):
-            plane = ", ".join(
-                repr(srp_plane_weight(seed, t, p, i)) for i in range(dim)
-            )
-            bits.append(
-                f"(case when list_dot_product(embedding::DOUBLE[], [{plane}]) >= 0"
-                f" then {1 << (n_planes - 1 - p)} else 0 end)"
-            )
-        table_exprs.append("(" + " + ".join(bits) + f") AS b{t}")
-    sig_cols = ",\n               ".join(table_exprs)
-    band_union = "\n            UNION ALL\n            ".join(
-        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sigs" for t in range(n_tables)
-    )
+    sig_cols, band_union = _srp_banded_sql(n_planes, n_tables, dim, seed)
     return f"""
         WITH sigs AS (SELECT vec_id, {sig_cols} FROM embeddings),
         banded AS ({band_union}),
@@ -1080,9 +1074,9 @@ def _ann_lsh_sql(
         ),
         sims AS (
             SELECT query_id, neighbor_id,
-                   list_dot_product(a.embedding, b.embedding)
+                   round(list_dot_product(a.embedding, b.embedding)
                    / (sqrt(list_dot_product(a.embedding, a.embedding))
-                      * sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+                      * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS sim
             FROM cands
             JOIN embeddings a ON a.vec_id = query_id
             JOIN embeddings b ON b.vec_id = neighbor_id
@@ -1239,9 +1233,9 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
             sims AS (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                       list_dot_product(q.embedding, e.embedding)
+                       round(list_dot_product(q.embedding, e.embedding)
                        / (sqrt(list_dot_product(q.embedding, q.embedding))
-                          * sqrt(list_dot_product(e.embedding, e.embedding))) AS sim
+                          * sqrt(list_dot_product(e.embedding, e.embedding))), 6) AS sim
                 FROM q JOIN embeddings e ON q.vec_id <> e.vec_id
             )
             SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM (

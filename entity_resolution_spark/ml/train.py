@@ -209,10 +209,10 @@ def cyclic_lr_with_restarts(
 @dataclass
 class TrainResult:
     weights: dict[str, np.ndarray]
-    best_loss: float
-    history: list[float] = field(default_factory=list)
+    best_loss: float  # best OPTIMIZED objective: contrastive + aux_weight·aux
+    history: list[float] = field(default_factory=list)  # contrastive only
     epochs_run: int = 0
-    aux_history: list[float] = field(default_factory=list)
+    aux_history: list[float] = field(default_factory=list)  # raw (unweighted) aux
 
 
 def train_contrastive(
@@ -296,10 +296,14 @@ def train_contrastive(
         history.append(ep_loss)
         aux_history.append(ep_aux)
         epochs_run = epoch + 1
-        if ep_loss < best_loss:
-            best_loss = ep_loss
+        # checkpoint/early-break on the OPTIMIZED objective: contrastive +
+        # weighted aux (the reference's `loss = batch_triplet_loss +
+        # batch_aux_loss`); with aux off this is the plain contrastive loss
+        ep_total = ep_loss + aux_weight * ep_aux
+        if ep_total < best_loss:
+            best_loss = ep_total
             best_w = {k: v.copy() for k, v in w.items()}
-        if ep_loss < early_stop_loss:
+        if ep_total < early_stop_loss:
             break
     return TrainResult(weights=best_w or w, best_loss=best_loss,
                        history=history, epochs_run=epochs_run,

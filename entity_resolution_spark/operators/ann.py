@@ -65,7 +65,12 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+            # round BEFORE ranking: last-ulp float differences between engines
+            # must not decide the k-th rank (same discipline as
+            # entrypoints._emb_pairs_scored); ties break on neighbor_id
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -213,7 +218,10 @@ def ivf_topk(
     sims = cands.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        # round-before-rank (see cosine_topk)
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     out = (
@@ -273,7 +281,10 @@ def lsh_topk(
     sims = cands.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        # round-before-rank (see cosine_topk)
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     out = (

@@ -490,6 +490,8 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     return (
-        cands.select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine"))
+        # round BEFORE the threshold: a cosine within one ulp of the cut must
+        # not pass in one engine and fail in the oracle
+        cands.select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -89,21 +89,26 @@ def auroc(
 
     Exact regardless of bin boundaries (bins only partition the work), so the
     result still hash-matches the oracle's rank-based SQL.
+
+    Rows with a NULL score are dropped (a NULL has no place in a ranking);
+    the per-score aggregate is localCheckpoint-ed — released by the context
+    cleaner when the result goes out of scope, unlike ``cache`` which pins
+    blocks for the session lifetime.
     """
     from pyspark.sql import Window
 
+    from ..functions.maps import prefix_offset_expr
+
     y = F.col(label_col).cast("int")
     g = (
-        scored.select(F.col(score_col).alias("s"), y.alias("y"))
+        scored.where(F.col(score_col).isNotNull())
+        .select(F.col(score_col).alias("s"), y.alias("y"))
         .groupBy("s")
         .agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
     )
-    g = g.cache()
-    try:
-        qs = [i / n_bins for i in range(1, n_bins)]
-        bounds = sorted(set(b for b in g.approxQuantile("s", qs, 0.001) if b is not None))
-    except Exception:  # empty input
-        bounds = []
+    g = g.localCheckpoint(eager=True)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = sorted(set(b for b in g.approxQuantile("s", qs, 0.001) if b is not None))
     if bounds:
         bin_expr = sum(
             ((F.col("s") > F.lit(b)).cast("int") for b in bounds), F.lit(0)
@@ -121,20 +126,7 @@ def auroc(
     # per-bin totals: ≤ n_bins rows — a bounded driver-side prefix sum
     totals = {r["bin"]: r["bneg"] for r in
               gb.groupBy("bin").agg(F.sum("neg").alias("bneg")).collect()}
-    offset, offsets = 0, {}
-    for b in sorted(totals):
-        offsets[b] = offset
-        offset += totals[b]
-    if offsets:
-        off_expr = F.coalesce(
-            F.try_element_at(
-                F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
-                F.col("bin"),
-            ),
-            F.lit(0),
-        ).cast("long")
-    else:
-        off_expr = F.lit(0).cast("long")
+    off_expr = prefix_offset_expr(totals, F.col("bin"))
     agg = gb.agg(
         F.sum(
             F.col("pos") * (off_expr + F.col("cumneg_in") + F.col("neg") / 2.0)

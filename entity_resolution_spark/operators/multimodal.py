@@ -109,7 +109,12 @@ def _decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     rows = raw.reshape(h, row_size)
     if bpp == 8:
         pal_off = 14 + hdr_size
-        pal = np.frombuffer(data, dtype=np.uint8, count=256 * 4, offset=pal_off).reshape(256, 4)
+        # biClrUsed (header bytes 46:50): 0 means "full 2^bpp palette"
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal = np.zeros((256, 4), dtype=np.uint8)
+        pal[:n_colors] = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)
         idx = rows[:, :w]
         px = _luma(pal[idx, 2], pal[idx, 1], pal[idx, 0])
     else:

@@ -51,24 +51,15 @@ def with_record_id(df: DataFrame, order_col: str | None = None) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from ..functions.maps import prefix_offset_expr
+
     if order_col is not None:
         df = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
     part = df.withColumn("_pid", F.spark_partition_id())
     sizes = part.groupBy("_pid").count().collect()  # one row per partition
-    offsets, off = {}, 0
-    for r in sorted(sizes, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = off
-        off += r["count"]
-    if offsets:
-        off_expr = F.coalesce(
-            F.try_element_at(
-                F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
-                F.col("_pid"),
-            ),
-            F.lit(0),
-        ).cast("long")
-    else:
-        off_expr = F.lit(0).cast("long")
+    off_expr = prefix_offset_expr(
+        {r["_pid"]: r["count"] for r in sizes}, F.col("_pid")
+    )
     w = Window.partitionBy("_pid").orderBy(
         F.monotonically_increasing_id() if order_col is None else F.col(order_col)
     )

@@ -75,3 +75,13 @@ def test_pipeline_deterministic_across_partitioning(spark):
         map(tuple, pipeline.resolve(pages.repartition(16)).select("url", "component_id").collect())
     )
     assert a1 == a16
+
+
+def test_auroc_null_scores_dropped(spark):
+    """NULL scores (e.g. from left joins) must not crash the binned AUROC;
+    they are excluded from the ranking."""
+    df = spark.createDataFrame(
+        [(0.9, True), (0.1, False), (None, True), (0.5, False)],
+        "score double, is_match boolean",
+    )
+    assert evaluate.auroc(df).collect()[0]["auroc"] == 1.0

@@ -162,3 +162,25 @@ def test_checkpoint_resume(spark, tmp_path):
     assert not ckpt.is_done("03_pruned")
     out3 = resolve_checkpointed(pages, ckpt).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out3))
+
+
+def test_bmp_8bit_partial_palette():
+    """Spec-valid 8-bit BMP with biClrUsed=16 (64-byte palette)."""
+    import struct
+
+    h, w, n_colors = 2, 3, 16
+    row_size = (w + 3) & ~3
+    pal = b"".join(bytes([i * 16, i * 16, i * 16, 0]) for i in range(n_colors))
+    off = 14 + 40 + len(pal)
+    px = np.array([[0, 5, 15], [1, 2, 3]], dtype=np.uint8)
+    img = b""
+    for y in range(h - 1, -1, -1):
+        row = px[y].tobytes()
+        img += row + b"\x00" * (row_size - len(row))
+    data = (
+        b"BM" + struct.pack("<IHHI", off + len(img), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(img), 0, 0, n_colors, 0)
+        + pal + img
+    )
+    w2, h2, got = MM.decode_image_bytes(data)
+    assert (w2, h2) == (w, h) and np.array_equal(got, px * 16)
