@@ -308,7 +308,7 @@ def run_scaling(sf_dir: str) -> None:
                 f"{norm}** (= {tier2['efficiency']} / {ceil['ceiling_efficiency']}).\n"
                 if norm is not None else "\n"
             )
-            "On hardware that does scale linearly (a real multi-node\n"
+            + "On hardware that does scale linearly (a real multi-node\n"
             "cluster, one executor per node), the normalized number is the\n"
             "expected efficiency; the shuffle-free plan itself adds no\n"
             "cross-executor traffic beyond the broadcast.\n"
