@@ -8,6 +8,7 @@ computed column is aliased identically on both sides.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import zipfile
@@ -413,8 +414,23 @@ def q_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:  # F3/F4 qua
     )
 
 
-def q_klsh_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only (G8)
-    from .functions.features import FeatureSpec
+# Shared Spark↔SQL constant: both engines multiply by the identical double
+# (avoids the ((x/9)*pi())/2 vs (x/9)*(pi/2) op-order drift).
+HALF_PI = math.pi / 2.0
+
+
+def q_klsh_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:  # G8 (oracled)
+    """Per-component KMeans via deterministic fixed-iteration Lloyd
+    (hash-seeded centroids) over engineered features — the oracle-checkable
+    G8 variant; the sklearn-parity ``klsh_sweep`` (k sweep, k-means++,
+    n_init=10) keeps reference parity in ``tests/test_klsh_parity.py``.
+
+    Features per record: per-component population z-score of ``n_chars``
+    (F1) + ordinal quarter-circle of ``n_chars % 10`` (F4), all rounded to
+    6dp so both engines cluster the identical doubles.  Variance uses the
+    explicit ``E[x²]−E[x]²`` form over exact integer sums, making mean/std
+    bit-identical across engines and accumulation orders.
+    """
     from .operators import klsh
 
     assignment = q_connected_components(spark, sf_dir)
@@ -422,30 +438,63 @@ def q_klsh_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-o
         _doc(spark, sf_dir)
         .select(F.col("doc_id").alias("record_id"), "n_chars")
         .join(assignment, "record_id")
-        .withColumn("ordq", F.pmod("n_chars", F.lit(10)))
     )
-    spec = FeatureSpec(numeric_cols=("n_chars",), ordinal_cols=(("ordq", 9),))
-    return klsh.klsh_sweep(recs, spec, k_top=4)
+    stats = recs.groupBy("component_id").agg(
+        F.avg("n_chars").alias("_mu"),
+        F.avg(F.col("n_chars").cast("long") * F.col("n_chars")).alias("_musq"),
+    )
+    var = F.col("_musq") - F.col("_mu") * F.col("_mu")
+    theta = F.pmod("n_chars", F.lit(10)).cast("double") / F.lit(9.0) * F.lit(HALF_PI)
+    feats = recs.join(stats, "component_id").select(
+        "component_id",
+        "record_id",
+        F.round(
+            F.when(var > 0, (F.col("n_chars") - F.col("_mu")) / F.sqrt(var))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+        F.round(F.cos(theta), 6).alias("f2"),
+        F.round(F.sin(theta), 6).alias("f3"),
+    )
+    return klsh.klsh_lloyd(feats, ["f1", "f2", "f3"], k=4, iters=5)
 
 
-def q_encoder_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only (F9)
+def q_encoder_forward(spark: SparkSession, sf_dir: str) -> DataFrame:  # F9 (oracled)
+    """Encoder forward pass through the real F9 machinery (broadcast
+    weights, Arrow-batched pandas UDF, ``ml.encoder.forward``) with the
+    reduced weight set whose unrolled matmuls the oracle inlines as SQL
+    literals.  ReLU (exact arithmetic) + float64 output keep cross-engine
+    drift ~1e-14, far inside the 4dp output rounding; features are rounded
+    to 6dp on both sides before entering the network.  The full 128-d GELU
+    encoder (same ``forward`` code, bigger shapes) is covered by
+    ``tests/test_scoring_and_encoder.py`` / ``test_encoder_pipeline.py``.
+    """
     from .ml import encoder as E
 
     d = _doc(spark, sf_dir)
+    theta_q = F.pmod("n_chars", F.lit(10)).cast("double") / F.lit(9.0) * F.lit(HALF_PI)
+    theta_l = F.pmod("doc_id", F.lit(12)).cast("double") / F.lit(11.0) * F.lit(HALF_PI)
     feats = d.select(
         "doc_id",
-        F.cos(F.pmod("n_chars", F.lit(10)) / 9 * F.lit(1.5707963)).alias("quality_cos"),
-        F.sin(F.pmod("n_chars", F.lit(10)) / 9 * F.lit(1.5707963)).alias("quality_sin"),
-        (F.col("n_chars") / 500.0).alias("resonance"),
-        (F.length("text") / 500.0).alias("tension"),
+        F.round(F.cos(theta_q), 6).alias("quality_cos"),
+        F.round(F.sin(theta_q), 6).alias("quality_sin"),
+        F.round(F.col("n_chars") / F.lit(500.0), 6).alias("resonance"),
+        F.round(F.pmod("doc_id", F.lit(7)) / F.lit(7.0), 6).alias("tension"),
         F.when(F.pmod("n_chars", F.lit(2)) == 0, 1.0).otherwise(0.0).alias("tension_adj_cos"),
         F.when(F.pmod("n_chars", F.lit(2)) == 0, 0.0).otherwise(1.0).alias("tension_adj_sin"),
-        F.lit(0.5).alias("longevity_cos"),
-        F.lit(0.8).alias("longevity_sin"),
+        F.round(F.cos(theta_l), 6).alias("longevity_cos"),
+        F.round(F.sin(theta_l), 6).alias("longevity_sin"),
     )
-    out = E.embed_dataframe(feats, E.init_weights())
-    return out.select("doc_id", F.round(F.element_at("embedding", 1), 5).alias("e0"),
-                      F.round(F.element_at("embedding", 64), 5).alias("e63"))
+    out = E.embed_dataframe(
+        feats, E.reduced_init_weights(), activation="relu", output_dtype="float64"
+    )
+    return out.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("embedding", j + 1), 4).alias(f"e{j}")
+            for j in range(8)
+        ],
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # scale ANN (oracled)
@@ -668,8 +717,8 @@ def _raw_queries() -> dict[str, QueryFn]:
         "quality_score": q_quality_score,
         "lang_guess": q_lang_guess,
         "feature_embed": q_feature_embed,
-        "klsh_assignments": q_klsh_assignments,
-        "encoder_embeddings": q_encoder_embeddings,
+        "klsh_lloyd": q_klsh_lloyd,
+        "encoder_forward": q_encoder_forward,
         "ann_lsh_topk": q_ann_lsh_topk,
         "soundex_keys": q_soundex_keys,
         "pair_auroc": q_pair_auroc,
@@ -1090,6 +1139,160 @@ def _ann_lsh_sql(
     """
 
 
+# Recursive-CTE transitive closure → (record_id, component_id), the same
+# fragment the connected_components oracle inlines (kept verbatim there).
+_CC_ASSIGN_SQL = f"""
+    {_EDGES_SQL},
+    pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
+    bi AS (SELECT id1 AS src, id2 AS dst FROM pruned
+           UNION SELECT id2, id1 FROM pruned),
+    reach(src, dst) AS (
+        SELECT src, dst FROM bi
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+    ),
+    mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+    cc_assign AS (
+        SELECT d.doc_id AS record_id,
+               least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component_id
+        FROM documents d LEFT JOIN mins m ON d.doc_id = m.src
+    )
+"""
+
+
+def _klsh_lloyd_sql(k: int = 4, iters: int = 5) -> str:
+    """SQL replica of ``q_klsh_lloyd``: CC closure → per-component z-score +
+    quarter-circle features (6dp) → hash-seeded centroids → ``iters``
+    unrolled Lloyd rounds.  The nearest-centroid argmin is a string-encoded
+    ``min(printf(dist6) || printf(cid))`` (same fixed-width trick as the
+    winnowing oracle) — ties at equal 6dp distance break on the lowest cid,
+    exactly like the Spark ``min(struct(dist6, cid))``."""
+    hp = repr(HALF_PI)
+    dist = ("round((f1-c1)*(f1-c1) + (f2-c2)*(f2-c2) + (f3-c3)*(f3-c3), 6)")
+    argmin = (
+        f"substr(min(printf('%020.6f', {dist}) || printf('%05d', cid)), 21, 5)::int"
+    )
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+        asg{t} AS (
+            SELECT component_id, record_id, f1, f2, f3, {argmin} AS cid
+            FROM pts JOIN cent{t - 1} USING (component_id)
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        cent{t} AS (
+            SELECT component_id, cid,
+                   round(avg(f1), 6) AS c1,
+                   round(avg(f2), 6) AS c2,
+                   round(avg(f3), 6) AS c3
+            FROM asg{t} GROUP BY 1, 2
+        )""")
+    return f"""
+        WITH RECURSIVE {_CC_ASSIGN_SQL},
+        recs AS (
+            SELECT a.component_id, a.record_id, d.n_chars
+            FROM cc_assign a JOIN documents d ON d.doc_id = a.record_id
+        ),
+        stats AS (
+            SELECT component_id, avg(n_chars) AS mu,
+                   avg(n_chars::bigint * n_chars) AS musq
+            FROM recs GROUP BY 1
+        ),
+        pts AS (
+            SELECT r.component_id, r.record_id,
+                   round(CASE WHEN (musq - mu * mu) > 0
+                              THEN (n_chars - mu) / sqrt(musq - mu * mu)
+                              ELSE 0.0 END, 6) AS f1,
+                   round(cos((n_chars % 10) / 9.0 * {hp}), 6) AS f2,
+                   round(sin((n_chars % 10) / 9.0 * {hp}), 6) AS f3
+            FROM recs r JOIN stats USING (component_id)
+        ),
+        seeds AS (
+            SELECT component_id, record_id, f1, f2, f3,
+                   row_number() OVER (PARTITION BY component_id
+                                      ORDER BY md5(record_id::varchar), record_id) AS cid
+            FROM pts
+        ),
+        cent0 AS (
+            SELECT component_id, cid, f1 AS c1, f2 AS c2, f3 AS c3
+            FROM seeds WHERE cid <= {k}
+        ),
+        {",".join(steps)},
+        final AS (
+            SELECT component_id, record_id, {argmin} AS cid
+            FROM pts JOIN cent{iters} USING (component_id)
+            GROUP BY 1, 2, f1, f2, f3
+        )
+        SELECT component_id, record_id, cid::bigint AS cluster_id FROM final
+    """
+
+
+def _encoder_forward_sql() -> str:
+    """SQL replica of ``q_encoder_forward``: the reduced encoder's weights
+    (data-independent constants from ``ml.encoder.reduced_init_weights``)
+    are inlined as literals via ``repr`` — the same shared-literal technique
+    as the SRP hyperplane oracles — and each layer is an unrolled
+    multiply-add chain with ``greatest(x, 0.0)`` ReLU."""
+    from .ml.encoder import TOWERS, reduced_init_weights
+
+    w = reduced_init_weights()
+    hp = repr(HALF_PI)
+
+    def lin(in_names: list[str], W, b, relu: bool, prefix: str) -> tuple[str, list[str]]:
+        exprs, names = [], []
+        for j in range(W.shape[1]):
+            terms = " + ".join(
+                f"{x} * {float(W[i, j])!r}" for i, x in enumerate(in_names)
+            )
+            e = f"({terms} + {float(b[j])!r})"
+            if relu:
+                e = f"greatest({e}, 0.0)"
+            exprs.append(f"{e} AS {prefix}{j}")
+            names.append(f"{prefix}{j}")
+        return ",\n                   ".join(exprs), names
+
+    x = [f"x{i}" for i in range(8)]
+    towers_in = {"quality": x[0:2], "resonance": x[2:3],
+                 "tension": x[3:6], "longevity": x[6:8]}
+    l1_exprs, l1_names, l2_exprs, l2_names = [], {}, [], []
+    for name in TOWERS:
+        e, n = lin(towers_in[name], w[f"{name}_w1"], w[f"{name}_b1"], True, f"{name}_a")
+        l1_exprs.append(e)
+        l1_names[name] = n
+    for name in TOWERS:
+        e, n = lin(l1_names[name], w[f"{name}_w2"], w[f"{name}_b2"], True, f"{name}_b")
+        l2_exprs.append(e)
+        l2_names.extend(n)
+    h_exprs, h_names = lin(l2_names, w["head_w1"], w["head_b1"], True, "h")
+    e_exprs, e_names = lin(h_names, w["head_w2"], w["head_b2"], False, "e")
+    nm = " + ".join(f"{e} * {e}" for e in e_names)
+    outs = ", ".join(f"round({e} / nm, 4) AS e{j}" for j, e in enumerate(e_names))
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   round(cos((n_chars % 10) / 9.0 * {hp}), 6) AS x0,
+                   round(sin((n_chars % 10) / 9.0 * {hp}), 6) AS x1,
+                   round(n_chars / 500.0, 6) AS x2,
+                   round((doc_id % 7) / 7.0, 6) AS x3,
+                   CASE WHEN n_chars % 2 = 0 THEN 1.0 ELSE 0.0 END AS x4,
+                   CASE WHEN n_chars % 2 = 0 THEN 0.0 ELSE 1.0 END AS x5,
+                   round(cos((doc_id % 12) / 11.0 * {hp}), 6) AS x6,
+                   round(sin((doc_id % 12) / 11.0 * {hp}), 6) AS x7
+            FROM documents
+        ),
+        l1 AS (SELECT doc_id, {",".join(l1_exprs)} FROM f),
+        l2 AS (SELECT doc_id, {",".join(l2_exprs)} FROM l1),
+        hh AS (SELECT doc_id, {h_exprs} FROM l2),
+        ee AS (SELECT doc_id, {e_exprs} FROM hh),
+        nn AS (
+            SELECT doc_id, {", ".join(e_names)},
+                   CASE WHEN sqrt({nm}) = 0 THEN 1.0 ELSE sqrt({nm}) END AS nm
+            FROM ee
+        )
+        SELECT doc_id, {outs} FROM nn
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "blocking_keys": _BLOCKS_SQL,
@@ -1372,6 +1575,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "simhash_near_pairs": _simhash_sql(max_hamming=3),
+        "klsh_lloyd": _klsh_lloyd_sql(k=4, iters=5),
+        "encoder_forward": _encoder_forward_sql(),
         "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
         "ann_lsh_topk": _ann_lsh_sql(),
         "soundex_keys": _soundex_sql(),

@@ -83,26 +83,69 @@ def init_weights(seed: int = 42) -> dict[str, np.ndarray]:
     return w
 
 
+def reduced_init_weights(
+    seed: int = 7, tower_dim: int = 4, hidden_dim: int = 8, embed_dim: int = 8
+) -> dict[str, np.ndarray]:
+    """A narrowed encoder (same tower topology, tiny widths, weights rounded
+    to 4dp) whose forward pass is small enough to inline as SQL literals —
+    the oracle-checkable F9 variant.  Rounding the weights keeps the SQL
+    literals short; ``repr(float)`` round-trips them bit-exactly into the
+    oracle, so both engines multiply the identical doubles."""
+    rng = np.random.default_rng(seed)
+    w: dict[str, np.ndarray] = {}
+    for name, d_in in TOWERS.items():
+        w[f"{name}_w1"] = _he(rng, d_in, tower_dim).round(4)
+        w[f"{name}_b1"] = np.zeros(tower_dim)
+        w[f"{name}_w2"] = _he(rng, tower_dim, tower_dim).round(4)
+        w[f"{name}_b2"] = np.zeros(tower_dim)
+    w["head_w1"] = _he(rng, tower_dim * len(TOWERS), hidden_dim).round(4)
+    w["head_b1"] = np.zeros(hidden_dim)
+    w["head_w2"] = _he(rng, hidden_dim, embed_dim).round(4)
+    w["head_b2"] = np.zeros(embed_dim)
+    return w
+
+
 def _gelu(x: np.ndarray) -> np.ndarray:
     return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
 
 
-def forward(weights: dict[str, np.ndarray], X: np.ndarray) -> np.ndarray:
-    """Batch forward: X [n, 8] (INPUT_COLS order) → L2-normalized [n, 128]."""
+def _relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, 0.0)
+
+
+_ACTIVATIONS = {"gelu": _gelu, "relu": _relu}
+
+
+def forward(
+    weights: dict[str, np.ndarray],
+    X: np.ndarray,
+    activation: str = "gelu",
+    dtype=np.float32,
+) -> np.ndarray:
+    """Batch forward: X [n, 8] (INPUT_COLS order) → L2-normalized embedding.
+
+    Layer widths come from the weight shapes, so the same code runs the full
+    (64/512/128) encoder and the reduced oracle-checkable one.  ``relu`` is
+    exact arithmetic (no libm transcendental), which keeps the cross-engine
+    float drift of the SQL replica at the 1-ulp-per-op level; pass
+    ``dtype=np.float64`` for oracle comparison (float32's ~1e-7 noise
+    straddles 4dp rounding boundaries too often at corpus scale).
+    """
+    act = _ACTIVATIONS[activation]
     outs = []
     offset = 0
     for name, d_in in TOWERS.items():
         xi = X[:, offset : offset + d_in]
         offset += d_in
-        h = _gelu(xi @ weights[f"{name}_w1"] + weights[f"{name}_b1"])
-        h = _gelu(h @ weights[f"{name}_w2"] + weights[f"{name}_b2"])
+        h = act(xi @ weights[f"{name}_w1"] + weights[f"{name}_b1"])
+        h = act(h @ weights[f"{name}_w2"] + weights[f"{name}_b2"])
         outs.append(h)
     z = np.concatenate(outs, axis=1)
-    h = _gelu(z @ weights["head_w1"] + weights["head_b1"])
+    h = act(z @ weights["head_w1"] + weights["head_b1"])
     e = h @ weights["head_w2"] + weights["head_b2"]
     norms = np.linalg.norm(e, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return (e / norms).astype(np.float32)
+    return (e / norms).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -133,23 +176,33 @@ def weights_from_bytes(data: bytes) -> dict[str, np.ndarray]:
 # Spark integration
 # ---------------------------------------------------------------------------
 
-def embed_dataframe(df, weights: dict[str, np.ndarray], output_col: str = "embedding"):
+def embed_dataframe(
+    df,
+    weights: dict[str, np.ndarray],
+    output_col: str = "embedding",
+    activation: str = "gelu",
+    output_dtype: str = "float32",
+):
     """Add an ``array<float>`` embedding column; weights broadcast once.
 
     Input df must contain INPUT_COLS (see ``functions.features.engineer``).
+    ``output_dtype="float64"`` yields ``array<double>`` (oracle-comparison
+    precision); the default float32 matches the reference's inference dtype.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, FloatType
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(weights_to_bytes(weights))
+    np_dtype = np.float64 if output_dtype == "float64" else np.float32
+    sql_type = ArrayType(DoubleType() if output_dtype == "float64" else FloatType())
 
-    @pandas_udf(ArrayType(FloatType()))
+    @pandas_udf(sql_type)
     def encode(*cols: pd.Series) -> pd.Series:
         w = weights_from_bytes(bc.value)
         X = np.column_stack([c.to_numpy(dtype=np.float64) for c in cols])
-        E = forward(w, X)
+        E = forward(w, X, activation=activation, dtype=np_dtype)
         return pd.Series(list(E))
 
     return df.withColumn(output_col, encode(*[F.col(c) for c in INPUT_COLS]))

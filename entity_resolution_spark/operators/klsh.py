@@ -108,6 +108,95 @@ def klsh_sweep(
     return records.groupBy(component_col).applyInPandas(run_component, KLSH_SCHEMA)
 
 
+def _nearest_centroid(
+    points: DataFrame,
+    centroids: DataFrame,
+    feature_cols: list[str],
+    component_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assign each point to its nearest centroid within its component.
+
+    Squared distance is rounded to 6dp BEFORE the argmin and ties break on
+    the lowest centroid id (round-before-rank, the repo-wide oracle-parity
+    rule), so the winner is identical across engines and accumulation
+    orders.  The argmin itself is ``min(struct(dist, cid))`` — a plain
+    map-side-combinable aggregate, no window.
+    """
+    dist = None
+    for c in feature_cols:
+        term = (F.col(c) - F.col(f"_c_{c}")) * (F.col(c) - F.col(f"_c_{c}"))
+        dist = term if dist is None else dist + term
+    joined = points.join(centroids, component_col).withColumn(
+        "_d6", F.round(dist, 6)
+    )
+    return (
+        joined.groupBy(component_col, id_col, *feature_cols)
+        .agg(F.min(F.struct(F.col("_d6"), F.col("cid"))).alias("_best"))
+        .select(
+            component_col, id_col, *feature_cols,
+            F.col("_best.cid").alias("cid"),
+        )
+    )
+
+
+def klsh_lloyd(
+    points: DataFrame,
+    feature_cols: list[str],
+    k: int = 4,
+    iters: int = 5,
+    component_col: str = "component_id",
+    id_col: str = "record_id",
+) -> DataFrame:
+    """Per-component KMeans as fixed-iteration Lloyd from deterministic
+    hash-seeded centroids — the fully-distributed, oracle-checkable variant
+    of ``klsh_sweep`` (same reference semantics family:
+    ``block_klsh/clustering/klsh_engine.py:197`` seeded KMeans per component,
+    with the sweep/n_init replaced by one deterministic run so the whole
+    computation is expressible in ANSI SQL).
+
+    Init: the ``min(k, n)`` members with the smallest ``(md5(id), id)`` per
+    component seed centroids ``cid`` = 1..k (a deterministic stand-in for
+    seeded k-means++).  Then ``iters`` Lloyd rounds: nearest-centroid
+    assignment (distance rounded to 6dp, ties → lowest cid) and centroid
+    recomputation as the per-cluster mean rounded to 6dp.  Clusters that
+    lose all members are dropped (no re-seeding).
+
+    Scale shape: the point table never moves — each round is one equi-join
+    of points against the (n_components × k)-row centroid table on the
+    component id plus one groupBy, both map-side combinable.  Centroids are
+    localCheckpoint-ed per round (tiny table, cuts the exponentially-nesting
+    lineage); on a real cluster the same loop writes them to a checkpoint
+    dir.  Windows appear only in seeding and are partitioned by component.
+    """
+    pts = points.select(component_col, id_col, *feature_cols).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cent = (
+        pts.withColumn("cid", F.row_number().over(w))
+        .where(F.col("cid") <= k)
+        .select(
+            component_col, "cid",
+            *[F.col(c).alias(f"_c_{c}") for c in feature_cols],
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        asg = _nearest_centroid(pts, cent, feature_cols, component_col, id_col)
+        cent = (
+            asg.groupBy(component_col, "cid")
+            .agg(*[F.round(F.avg(c), 6).alias(f"_c_{c}") for c in feature_cols])
+            .localCheckpoint(eager=True)
+        )
+    final = _nearest_centroid(pts, cent, feature_cols, component_col, id_col)
+    return final.select(
+        component_col, id_col, F.col("cid").cast("long").alias("cluster_id")
+    )
+
+
 def klsh_pairs(assignments: DataFrame) -> DataFrame:
     """Predicted i<j pairs per (component, k, cluster) — cluster-local
     self-join, same pattern as block-local pair generation (G9)."""
