@@ -277,16 +277,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     round_to: int | None = 6,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard for the given candidate pairs.
 
     The pair table (small rows, typically an expensive blocking→prune chain)
     is checkpointed — it feeds the intersection AND the final join.  The
-    shingle table is deliberately NOT: it is multi-million-row long form, and
-    re-running the codegen'd position-explode per reference is cheaper than
-    storing and re-reading it (measured at sf0.1)."""
+    shingle table feeds THREE consumers (sizes + both sides of the
+    intersection join); materializing it once via localCheckpoint beats
+    re-running the position-explode per consumer by ~18% (A/B at sf0.1
+    local[32], round 3: 15.3-15.5 s vs 18.5-18.6 s — reversing round 2's
+    no-materialize choice, which round 2's own bench regression flagged).
+    At cluster scale the same trade holds while the shingle table fits the
+    block managers' memory+disk tier; beyond that, set
+    ``materialize_shingles=False`` to trade recompute for storage."""
     pairs_df = pairs_df.localCheckpoint(eager=False)
     sh = char_shingles(docs, id_col, text_col, n)
+    if materialize_shingles:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     s1 = sh.select(F.col("id").alias("id1"), "shingle")
     s2 = sh.select(F.col("id").alias("id2"), "shingle")
