@@ -42,7 +42,40 @@ HEADLINE = [
     "simhash_near_pairs",
     "pair_auroc",
     "exact_dedup",
+    # round-2/3 additions: every new oracle-backed query is timed so a
+    # regression anywhere in the surface shows up in the per-round delta
+    "winnow_fingerprints",
+    "dedup_keep_list",
+    "user_sessions",
+    "event_rollup",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "metaphone_keys",
+    "docs_without_edges",
+    "klsh_lloyd",
+    "encoder_forward",
 ]
+
+
+def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json in the repo root → (round tag, per-query secs)."""
+    import glob
+    import re as _re
+
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), path
+    if best is None:
+        return None, {}
+    try:
+        with open(best) as f:
+            doc = json.load(f)
+        return f"r{best_n:02d}", dict(doc.get("parsed", doc).get("queries", {}))
+    except Exception:
+        return None, {}
 
 
 def _force(df) -> int:
@@ -75,6 +108,16 @@ def run_default() -> None:
     n_pairs = qs["candidate_pairs"](spark, SF_DIR).count()
     dt_pairs = time.perf_counter() - t0
     spark.stop()
+
+    # per-query delta vs the previous round's recorded bench (>20% and
+    # >0.5 s slower = regression; the judge's watch-item automation)
+    prev_tag, prev = _previous_round_timings()
+    regressions = {
+        name: {"prev": prev[name], "cur": cur,
+               "pct": round(100.0 * (cur - prev[name]) / prev[name], 1)}
+        for name, cur in timings.items()
+        if name in prev and cur > prev[name] * 1.2 and cur - prev[name] > 0.5
+    }
     print(
         json.dumps(
             {
@@ -86,6 +129,8 @@ def run_default() -> None:
                 "candidate_pairs": n_pairs,
                 "candidate_pairs_per_sec": round(n_pairs / max(dt_pairs, 1e-9)),
                 "cpus": CPUS,
+                "prev_round": prev_tag,
+                "regressions": regressions,
             }
         )
     )
@@ -235,12 +280,17 @@ def _ceiling(sf_dir: str, n_cores: int = 32, worker_cores: int = 8) -> dict:
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", pin] + cmd
         procs.append(subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     secs = []
     for p in procs:
-        out, _ = p.communicate()
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        secs.append(json.loads(line)["seconds"])
+        out, err = p.communicate()
+        lines = [l for l in out.splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"ceiling worker produced no JSON (rc={p.returncode}); "
+                f"stderr tail: {err[-2000:]}"
+            )
+        secs.append(json.loads(lines[-1])["seconds"])
     return {
         "single_8core_sec": round(single["seconds"], 3),
         "concurrent_8core_secs": [round(s, 3) for s in secs],
