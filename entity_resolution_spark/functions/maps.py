@@ -25,7 +25,16 @@ def prefix_offsets(totals: dict) -> dict:
 
 
 def prefix_offset_expr(totals: dict, key_col: Column) -> Column:
-    """Column mapping ``key_col`` → its cumulative offset (0 when absent)."""
+    """Column mapping ``key_col`` → its cumulative offset (0 when absent).
+
+    Rejects ``None`` keys: a NULL key cannot appear in a ``create_map``
+    literal, so its rows would silently coalesce to offset 0 and collide
+    with the lowest real key's range — fail loudly instead."""
+    if any(k is None for k in totals):
+        raise ValueError(
+            "prefix_offset_expr: None key in totals — NULL keys would "
+            "silently share offset 0; filter or fill them upstream"
+        )
     offsets = {k: v for k, v in prefix_offsets(totals).items() if k is not None}
     if not offsets:
         return F.lit(0).cast("long")

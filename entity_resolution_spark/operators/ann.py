@@ -180,6 +180,11 @@ def ivf_topk(
             corpus, n_lists, id_col=id_col, vec_col=vec_col
         )
     spark = corpus.sparkSession
+    # Broadcast lifetime: the returned DataFrame is lazy, so the centroid
+    # broadcast must outlive this call — it is released by the context
+    # cleaner once the plan's UDF references are garbage-collected (n_lists
+    # × dim float64 ≈ KBs; callers looping over many ivf_topk plans in one
+    # eternal session should materialize then bc.unpersist() themselves).
     bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
     probe = min(n_probe, len(centroids))
 

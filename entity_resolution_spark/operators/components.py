@@ -72,22 +72,73 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"])
 
 
+def _completed_rounds(spark, checkpoint_dir: str) -> list[int]:
+    """Round indices under ``checkpoint_dir`` whose parquet write completed
+    (``_SUCCESS`` marker present) — via the Hadoop FileSystem API, so the
+    same code lists local paths in the sandbox and HDFS/S3A on a cluster."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("round_") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.append(int(name.split("_")[1]))
+    return sorted(out)
+
+
+def _persist_round(e: DataFrame, checkpoint_dir: str, i: int) -> DataFrame:
+    """Write round ``i``'s edge set durably and return the re-read — cuts
+    lineage like ``localCheckpoint`` but survives executor (and driver)
+    loss; the parquet ``_SUCCESS`` marker makes completion atomic."""
+    path = f"{checkpoint_dir}/round_{i:04d}"
+    e.write.mode("overwrite").parquet(path)
+    return e.sparkSession.read.parquet(path)
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, checkpoint: bool = True
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(record_id, component_id) for every vertex incident to an edge.
 
     ``component_id`` is the minimum record id reachable from the vertex.
+
+    ``checkpoint_dir`` switches per-round lineage cuts from
+    ``localCheckpoint`` (executor-memory blocks — lost with an executor) to
+    durable parquet rounds: each completed round lands as
+    ``round_{i:04d}/`` with an atomic ``_SUCCESS`` marker, and a re-call
+    with the same directory RESUMES from the latest completed round instead
+    of recomputing the input chain — the recovery story a days-long CC run
+    over a 10^12-edge graph needs.  Convergence still uses the bit_xor
+    checksum, recomputed from the loaded round on resume.
     """
+    spark = edges.sparkSession
     e = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     ).where(F.col("src") != F.col("dst")).distinct()
-    if checkpoint:
+    start_round = 1
+    if checkpoint_dir:
+        done = _completed_rounds(spark, checkpoint_dir)
+        if done:
+            start_round = done[-1] + 1
+            e = spark.read.parquet(f"{checkpoint_dir}/round_{done[-1]:04d}")
+        else:
+            e = _persist_round(e, checkpoint_dir, 0)
+    elif checkpoint:
         e = e.localCheckpoint(eager=True)
     prev = _checksum(e)
-    for _ in range(max_iterations):
+    for i in range(start_round, start_round + max_iterations):
         e = _small_star(_large_star(e))
-        if checkpoint:
+        if checkpoint_dir:
+            e = _persist_round(e, checkpoint_dir, i)
+        elif checkpoint:
             e = e.localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:

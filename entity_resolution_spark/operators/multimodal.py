@@ -176,7 +176,32 @@ def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return sr, pcm
 
 
-def decode_image_bytes(data: bytes) -> tuple[int, int, np.ndarray]:
+# ---------------------------------------------------------------------------
+# Real-codec plug point
+# ---------------------------------------------------------------------------
+# Compressed-format codecs (JPEG/PNG via Pillow, MP3/AAC via soundfile,
+# MP4 via ffmpeg) are not in this container.  They drop in WITHOUT touching
+# any Spark code through this registry: a decoder takes the raw bytes and
+# returns the decoded tuple, or None to decline the format.  The Spark
+# operators capture the registered decoders into their UDF closures at plan
+# construction (cloudpickle ships them by value), so registration on the
+# driver reaches every executor.
+
+_EXTRA_DECODERS: dict[str, list] = {"image": [], "audio": [], "video": []}
+
+
+def register_decoder(kind: str, fn) -> None:
+    """Register a real codec: ``kind`` in {image, audio, video}; ``fn(data)``
+    returns the same tuple as ``decode_*_bytes`` or None to decline."""
+    _EXTRA_DECODERS[kind].append(fn)
+
+
+def clear_decoders(kind: str | None = None) -> None:
+    for k in [kind] if kind else list(_EXTRA_DECODERS):
+        _EXTRA_DECODERS[k].clear()
+
+
+def decode_image_bytes(data: bytes, extra=()) -> tuple[int, int, np.ndarray]:
     if data[:4] == b"IMG1":
         w, h = struct.unpack("<II", data[4:12])
         px = np.frombuffer(data[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
@@ -185,23 +210,34 @@ def decode_image_bytes(data: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return _decode_pnm(data)
-    # REAL-CODEC HOOK for compressed formats: plug Pillow here
-    # (`PIL.Image.open(io.BytesIO(data))`).
-    raise NotImplementedError("compressed image codecs (JPEG/PNG) not available in this container")
+    for dec in extra or _EXTRA_DECODERS["image"]:
+        out = dec(data)
+        if out is not None:
+            return out
+    raise NotImplementedError(
+        "compressed image codecs (JPEG/PNG) not available in this container; "
+        "register one via multimodal.register_decoder('image', fn)"
+    )
 
 
-def decode_audio_bytes(data: bytes) -> tuple[int, np.ndarray]:
+def decode_audio_bytes(data: bytes, extra=()) -> tuple[int, np.ndarray]:
     if data[:4] == b"AUD1":
         sr, n = struct.unpack("<II", data[4:12])
         pcm = np.frombuffer(data[12 : 12 + 2 * n], dtype=np.int16)
         return sr, pcm
     if data[:4] == b"RIFF":
         return _decode_wav(data)
-    # REAL-CODEC HOOK for compressed formats: plug soundfile/librosa here.
-    raise NotImplementedError("compressed audio codecs (MP3/AAC) not available in this container")
+    for dec in extra or _EXTRA_DECODERS["audio"]:
+        out = dec(data)
+        if out is not None:
+            return out
+    raise NotImplementedError(
+        "compressed audio codecs (MP3/AAC) not available in this container; "
+        "register one via multimodal.register_decoder('audio', fn)"
+    )
 
 
-def decode_video_bytes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+def decode_video_bytes(data: bytes, extra=()) -> tuple[int, int, list[np.ndarray]]:
     if data[:4] == b"VID1":
         w, h, n = struct.unpack("<III", data[4:16])
         frames = []
@@ -210,8 +246,14 @@ def decode_video_bytes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
             frames.append(np.frombuffer(data[off : off + w * h], dtype=np.uint8).reshape(h, w))
             off += w * h
         return w, h, frames
-    # REAL-CODEC HOOK: plug ffmpeg here.
-    raise NotImplementedError("real video codecs not available in this container")
+    for dec in extra or _EXTRA_DECODERS["video"]:
+        out = dec(data)
+        if out is not None:
+            return out
+    raise NotImplementedError(
+        "real video codecs not available in this container; "
+        "register one via multimodal.register_decoder('video', fn)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -220,12 +262,13 @@ def decode_video_bytes(data: bytes) -> tuple[int, int, list[np.ndarray]]:
 
 def image_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "image") -> DataFrame:
     """Decode + feature-extract per image: (id, width, height, channels, mean_luma)."""
+    extra = tuple(_EXTRA_DECODERS["image"])  # shipped by value in the closure
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rid, data in zip(pdf[id_col], pdf[bin_col]):
-                w, h, px = decode_image_bytes(bytes(data))
+                w, h, px = decode_image_bytes(bytes(data), extra)
                 out.append((rid, w, h, 1, float(px.mean())))
             yield pd.DataFrame(
                 out, columns=["doc_id", "width", "height", "channels", "mean_luma"]
@@ -238,12 +281,13 @@ def image_resize(
     df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id", bin_col: str = "image"
 ) -> DataFrame:
     """Nearest-neighbor resize, re-encoded to the synthetic format."""
+    extra = tuple(_EXTRA_DECODERS["image"])
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
             for rid, data in zip(pdf[id_col], pdf[bin_col]):
-                w, h, px = decode_image_bytes(bytes(data))
+                w, h, px = decode_image_bytes(bytes(data), extra)
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 small = px[np.ix_(yi, xi)]
@@ -255,11 +299,13 @@ def image_resize(
 
 
 def audio_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio") -> DataFrame:
+    extra = tuple(_EXTRA_DECODERS["audio"])
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rid, data in zip(pdf[id_col], pdf[bin_col]):
-                sr, pcm = decode_audio_bytes(bytes(data))
+                sr, pcm = decode_audio_bytes(bytes(data), extra)
                 rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if len(pcm) else 0.0
                 out.append((rid, sr, len(pcm), len(pcm) / sr if sr else 0.0, rms))
             yield pd.DataFrame(
@@ -273,12 +319,13 @@ def video_frame_sample(
     df: DataFrame, every_n: int = 2, id_col: str = "doc_id", bin_col: str = "video"
 ) -> DataFrame:
     """Sample every n-th frame → one row per (doc, frame), frame re-encoded."""
+    extra = tuple(_EXTRA_DECODERS["video"])
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, blobs = [], [], []
             for rid, data in zip(pdf[id_col], pdf[bin_col]):
-                w, h, frames = decode_video_bytes(bytes(data))
+                w, h, frames = decode_video_bytes(bytes(data), extra)
                 for i in range(0, len(frames), every_n):
                     ids.append(rid)
                     idxs.append(i)

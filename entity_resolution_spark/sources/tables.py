@@ -55,7 +55,22 @@ def with_record_id(df: DataFrame, order_col: str | None = None) -> DataFrame:
 
     if order_col is not None:
         df = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
-    part = df.withColumn("_pid", F.spark_partition_id())
+    # The per-partition offset map is a literal expression — bound the
+    # partition count so it stays a small plan node (beyond this, id
+    # assignment belongs to a content hash like xxhash64(url), not an index).
+    if df.rdd.getNumPartitions() > 4096:
+        raise ValueError(
+            "with_record_id is a fixture-scale helper (creates a literal "
+            "offset map with one entry per partition); got "
+            f"{df.rdd.getNumPartitions()} partitions > 4096. Coalesce first, "
+            "or derive ids as xxhash64(<key column>) at pipeline scale."
+        )
+    # Pin the partition layout BEFORE the two jobs below: the sizes collect
+    # and the window job must see identical partitions, which AQE coalescing
+    # or a nondeterministic source would otherwise not guarantee.
+    part = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     sizes = part.groupBy("_pid").count().collect()  # one row per partition
     off_expr = prefix_offset_expr(
         {r["_pid"]: r["count"] for r in sizes}, F.col("_pid")

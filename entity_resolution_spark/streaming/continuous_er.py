@@ -40,10 +40,17 @@ from ..operators import pairs as P
 
 class ContinuousER:
     def __init__(self, spark: SparkSession, state_dir: str,
-                 prune_threshold: float = P.PRUNE_THRESHOLD) -> None:
+                 prune_threshold: float = P.PRUNE_THRESHOLD,
+                 compact_every: int = 1) -> None:
         self.spark = spark
         self.state_dir = state_dir
         self.prune_threshold = prune_threshold
+        # Re-crawl-heavy streams re-emit edges at growing weights; without
+        # compaction the appended edge table grows with the re-crawl rate
+        # (harmless for CC — edges are a set — but unbounded storage).
+        # Every `compact_every` batches the table is rewritten deduped to
+        # (id1, id2) at max weight; 0 disables.
+        self.compact_every = compact_every
         os.makedirs(state_dir, exist_ok=True)
 
     def _path(self, name: str) -> str:
@@ -91,6 +98,17 @@ class ContinuousER:
         delta.write.mode("append").parquet(self._path("edges"))
 
         edges = self.spark.read.parquet(self._path("edges"))
+        if self.compact_every and batch_id % self.compact_every == 0:
+            # materialize (localCheckpoint) BEFORE the overwrite so the
+            # rewrite never reads the files it is replacing; on a cluster
+            # this is a write-new-dir + swap
+            compacted = (
+                edges.groupBy("id1", "id2")
+                .agg(F.max("weight").alias("weight"))
+                .localCheckpoint(eager=True)
+            )
+            compacted.write.mode("overwrite").parquet(self._path("edges"))
+            edges = self.spark.read.parquet(self._path("edges"))
         assignment = C.assign_components(
             blocks.select("record_id").distinct(),
             edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),

@@ -76,3 +76,17 @@ def test_continuous_er_streaming_query(spark, tmp_path):
     got = cer.current_assignment().count()
     assert got == len(corpus.pages)
     q.stop()
+
+
+def test_continuous_er_edge_table_stays_compact(spark, tmp_path):
+    """Repeated re-crawls of the same urls must not grow the edge table:
+    after compaction it holds exactly the distinct (id1, id2) pairs."""
+    cer = ContinuousER(spark, str(tmp_path / "state4"))
+    pages = [("u1", "alpha beta gamma"), ("u2", "alpha beta gamma")]
+    for b in range(4):  # the same two urls re-crawled four times
+        cer.process_batch(spark.createDataFrame(pages, ["url", "text"]), b)
+    edges = spark.read.parquet(str(tmp_path / "state4" / "edges"))
+    assert edges.count() == edges.select("id1", "id2").distinct().count()
+    # and the assignment still groups the near-identical pair
+    got = {r["component_id"] for r in cer.current_assignment().collect()}
+    assert len(got) == 1

@@ -184,3 +184,52 @@ def test_bmp_8bit_partial_palette():
     )
     w2, h2, got = MM.decode_image_bytes(data)
     assert (w2, h2) == (w, h) and np.array_equal(got, px * 16)
+
+
+def test_registered_codec_flows_end_to_end(spark):
+    """A 'real' codec registered via the plug point flows through the Spark
+    operators unchanged — the decoder closure crosses to executor workers by
+    value, proving e.g. a Pillow wrapper drops in without Spark-code edits."""
+    # a fake compressed format: JPEG magic + raw 2x3 payload
+    def fake_jpeg_decoder(data):
+        if data[:2] != b"\xff\xd8":
+            return None
+        px = np.frombuffer(data[2:8], dtype=np.uint8).reshape(2, 3)
+        return 3, 2, px
+
+    def fake_mp3_decoder(data):
+        if data[:3] != b"ID3":
+            return None
+        pcm = np.frombuffer(data[3:], dtype=np.int16)
+        return 8000, pcm
+
+    MM.register_decoder("image", fake_jpeg_decoder)
+    MM.register_decoder("audio", fake_mp3_decoder)
+    try:
+        img = spark.createDataFrame(
+            [(7, bytearray(b"\xff\xd8" + bytes(range(6))))],
+            "doc_id long, image binary",
+        )
+        r = MM.image_features(img).collect()[0]
+        assert (r["width"], r["height"]) == (3, 2)
+        assert r["mean_luma"] == pytest.approx(np.arange(6).mean())
+        # mixed batch: built-in format and plugged format decode side by side
+        px = np.full((2, 3), 9, dtype=np.uint8)
+        mixed = spark.createDataFrame(
+            [(1, bytearray(MM.encode_image(3, 2, px))),
+             (2, bytearray(b"\xff\xd8" + bytes(range(6))))],
+            "doc_id long, image binary",
+        )
+        assert {x["doc_id"] for x in MM.image_features(mixed).collect()} == {1, 2}
+
+        aud = spark.createDataFrame(
+            [(9, bytearray(b"ID3" + np.array([100, -100], np.int16).tobytes()))],
+            "doc_id long, audio binary",
+        )
+        a = MM.audio_features(aud).collect()[0]
+        assert (a["sample_rate"], a["n_samples"]) == (8000, 2)
+    finally:
+        MM.clear_decoders()
+    # with the registry cleared, the same bytes raise the documented error
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        MM.decode_image_bytes(b"\xff\xd8" + bytes(range(6)))

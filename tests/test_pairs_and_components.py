@@ -116,3 +116,49 @@ def test_block_stage_api(spark):
     # both share the 'a', 'ap', 'apo' prefixed keys
     shared = {k for i, k in keys if i == 1} & {k for i, k in keys if i == 2}
     assert len(shared) == 3
+
+
+def test_cc_durable_checkpoint_resume(spark, tmp_path):
+    """Durable CC: rounds land as parquet with _SUCCESS markers; a re-call
+    with the same dir resumes from the last completed round WITHOUT the
+    original edge input (proving recovery reads only the checkpoint)."""
+    import os
+
+    edges = [(i, i + 1) for i in range(1, 20)]  # chain: needs several rounds
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    baseline = {
+        (r["record_id"], r["component_id"])
+        for r in components.connected_components(e).collect()
+    }
+
+    # full durable run matches the localCheckpoint run
+    d_full = str(tmp_path / "full")
+    got = {
+        (r["record_id"], r["component_id"])
+        for r in components.connected_components(e, checkpoint_dir=d_full).collect()
+    }
+    assert got == baseline
+    rounds = sorted(p for p in os.listdir(d_full) if p.startswith("round_"))
+    assert rounds[0] == "round_0000" and len(rounds) >= 2
+    for p in rounds:
+        assert os.path.exists(os.path.join(d_full, p, "_SUCCESS"))
+
+    # interrupted run: only 1 star round, then "the driver dies"
+    d = str(tmp_path / "resume")
+    components.connected_components(e, max_iterations=1, checkpoint_dir=d)
+    partial_rounds = sorted(p for p in os.listdir(d) if p.startswith("round_"))
+    assert partial_rounds == ["round_0000", "round_0001"]
+
+    # resume with an EMPTY edge input: the answer can only come from the
+    # persisted rounds.  Result identical to the uninterrupted run, and the
+    # loop continued numbering from the persisted round.
+    empty = spark.createDataFrame([], "src long, dst long")
+    resumed = {
+        (r["record_id"], r["component_id"])
+        for r in components.connected_components(
+            empty, checkpoint_dir=d
+        ).collect()
+    }
+    assert resumed == baseline
+    resumed_rounds = sorted(p for p in os.listdir(d) if p.startswith("round_"))
+    assert len(resumed_rounds) > 2 and resumed_rounds[2] == "round_0002"
