@@ -104,6 +104,7 @@ def minhash_band_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding join → distinct candidate (id1, id2) pairs.
 
@@ -117,6 +118,16 @@ def minhash_band_pairs(
     broadcast self-join, so without it the (tokenize + H×md5 min-agg)
     signature computation runs twice.  The signature table is 1 row/doc with
     H longs — the cheapest point in the pipeline to cut lineage.
+
+    ``max_bucket_size`` purges buckets larger than the cap before the
+    self-join — the same skew guard as block purging (G1): a bucket of b
+    docs emits b(b-1)/2 pairs, so one template-heavy bucket can dominate
+    the whole candidate volume (measured at sf0.1: the largest of 240
+    buckets holds 3184 of 5000 docs ⇒ ~5M of the 8.8M distinct pairs).
+    Pairs inside a purged bucket still surface through any other band they
+    agree on.  Default None (exact LSH semantics — the oracle-checked
+    path); set at corpus scale where a near-universal bucket means "shared
+    boilerplate", not "near-duplicate".
     """
     if materialize:
         signatures = signatures.localCheckpoint(eager=False)
@@ -134,6 +145,13 @@ def minhash_band_pairs(
     banded = signatures.select(
         F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, ["band", "bucket"])

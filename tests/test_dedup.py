@@ -152,3 +152,21 @@ def test_winnow_short_doc(spark):
     got = dedup.winnow_fingerprints(d, k=5, window=4).collect()
     docs = {r["doc_id"] for r in got}
     assert 1 in docs and 2 not in docs  # len 3 < k -> no grams
+
+
+def test_minhash_bucket_cap_purges_megabucket(spark):
+    """The LSH skew guard: an over-cap bucket emits no pairs, while pairs
+    that also agree on another (small) band still surface."""
+    from entity_resolution_spark.operators import dedup
+
+    # docs 1..6 share band-0 bucket (h0,h1); docs 1,2 also share band 1
+    rows = [(i, 10, 20, (100 if i in (1, 2) else 100 + i), 200, 0, 0, 0, 0)
+            for i in range(1, 7)]
+    sig = spark.createDataFrame(
+        rows, "doc_id long, h0 long, h1 long, h2 long, h3 long, "
+              "h4 long, h5 long, h6 long, h7 long")
+    full = dedup.minhash_band_pairs(sig)
+    assert full.count() == 15  # all C(6,2) via the mega band-0 bucket
+    capped = dedup.minhash_band_pairs(sig, max_bucket_size=3)
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    assert got == {(1, 2)}  # survives via its band-1 bucket of size 2

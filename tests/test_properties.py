@@ -167,3 +167,37 @@ def test_simhash_banding_pigeonhole(k, a, b):
         for off, w in bands
     )
     assert shared
+
+
+def test_klsh_lloyd_parallelism_invariant(spark):
+    """Distributed fixed-iteration Lloyd must produce the identical
+    assignment at any partitioning — the determinism contract that makes
+    its oracle (and a 1000-executor run) reproducible."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.klsh import klsh_lloyd
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i % 7), int(i), float(round(rng.normal(), 6)),
+         float(round(rng.normal(), 6)))
+        for i in range(140)
+    ]
+    base = spark.createDataFrame(
+        rows, "component_id long, record_id long, f1 double, f2 double"
+    )
+    results = []
+    for parts in (1, 4, 13):
+        df = base.repartition(parts)
+        got = {
+            (r["component_id"], r["record_id"]): r["cluster_id"]
+            for r in klsh_lloyd(df, ["f1", "f2"], k=3, iters=4).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 140
+    # every component actually split (k=3 over 20 members)
+    comps = {c for c, _ in results[0]}
+    for c in comps:
+        assert len({v for (cc, _), v in results[0].items() if cc == c}) > 1
