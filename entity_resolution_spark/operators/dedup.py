@@ -247,13 +247,18 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidates via band buckets (``max_hamming + 1`` contiguous bands ⇒
     pigeonhole guarantees any pair with Hamming ≤ max_hamming shares ≥ 1
     band), then exact Hamming filter.
 
     ``materialize`` checkpoints the 1-row/doc signature table so the 64
-    per-bit sums aren't recomputed on both sides of the self-join."""
+    per-bit sums aren't recomputed on both sides of the self-join.
+    ``max_bucket_size`` purges over-cap band buckets before the self-join
+    (same boilerplate-skew guard as ``minhash_band_pairs``; purging trades
+    the pigeonhole recall guarantee inside purged buckets for bounded
+    candidate volume — default None keeps exact semantics)."""
     if materialize:
         signatures = signatures.localCheckpoint(eager=False)
     band_structs = F.array(
@@ -270,6 +275,13 @@ def simhash_near_pairs(
     banded = signatures.select(
         F.col(id_col).alias("id"), F.col("simhash"), F.explode(band_structs).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, ["band", "bucket"])

@@ -170,3 +170,18 @@ def test_minhash_bucket_cap_purges_megabucket(spark):
     capped = dedup.minhash_band_pairs(sig, max_bucket_size=3)
     got = {(r["id1"], r["id2"]) for r in capped.collect()}
     assert got == {(1, 2)}  # survives via its band-1 bucket of size 2
+
+
+def test_simhash_bucket_cap(spark):
+    from entity_resolution_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(1, 6)]
+        + [(10, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.simhash_signatures(docs)
+    full = dedup.simhash_near_pairs(sig, max_hamming=3)
+    assert full.count() == 10  # C(5,2) identical docs
+    capped = dedup.simhash_near_pairs(sig, max_hamming=3, max_bucket_size=3)
+    assert capped.count() == 0  # all 4 bands hold the same 5-doc mega bucket
