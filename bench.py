@@ -241,11 +241,27 @@ def _run_worker(cores: int, sf_dir: str, mode: str, pin: str | None):
     return json.loads(line)
 
 
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+
+def _run_worker_best(cores: int, sf_dir: str, mode: str, pin: str | None,
+                     reps: int = SCALE_REPS):
+    """Best (min seconds) of ``reps`` identical runs.  This virtualized host
+    shows 10-30% run-to-run throughput swings from neighbor interference —
+    interference only ever subtracts, so min-time is the capability
+    measurement; all rep times are kept for the variance disclosure."""
+    results = [_run_worker(cores, sf_dir, mode, pin) for _ in range(reps)]
+    best = min(results, key=lambda r: r["seconds"])
+    best["rep_seconds"] = [round(r["seconds"], 3) for r in results]
+    return best
+
+
 def _tier(lo: int, sf_dir: str, mode: str) -> dict:
     """One N vs 4N measurement at `mode` granularity; efficiency =
-    throughput(4N cores) / (4 × throughput(N cores))."""
-    r_lo = _run_worker(lo, sf_dir, mode, f"0-{lo - 1}")
-    r_hi = _run_worker(4 * lo, sf_dir, mode, f"0-{4 * lo - 1}")
+    throughput(4N cores) / (4 × throughput(N cores)).  Each side is
+    best-of-SCALE_REPS (see _run_worker_best)."""
+    r_lo = _run_worker_best(lo, sf_dir, mode, f"0-{lo - 1}")
+    r_hi = _run_worker_best(4 * lo, sf_dir, mode, f"0-{4 * lo - 1}")
     t_lo = r_lo["pairs"] / r_lo["seconds"]
     t_hi = r_hi["pairs"] / r_hi["seconds"]
     return {
@@ -255,6 +271,8 @@ def _tier(lo: int, sf_dir: str, mode: str) -> dict:
         "hi_cores": 4 * lo,
         "lo_sec": round(r_lo["seconds"], 3),
         "hi_sec": round(r_hi["seconds"], 3),
+        "lo_rep_secs": r_lo["rep_seconds"],
+        "hi_rep_secs": r_hi["rep_seconds"],
         "lo_pairs_per_sec": round(t_lo),
         "hi_pairs_per_sec": round(t_hi),
         "efficiency": round(t_hi / (4 * t_lo), 3),
@@ -270,31 +288,40 @@ def _ceiling(sf_dir: str, n_cores: int = 32, worker_cores: int = 8) -> dict:
     on this box faces, Spark or not."""
     import subprocess
 
-    single = _run_worker(worker_cores, sf_dir, "threads", f"0-{worker_cores - 1}")
+    single = _run_worker_best(worker_cores, sf_dir, "threads",
+                              f"0-{worker_cores - 1}")
     k = n_cores // worker_cores
-    procs = []
-    for i in range(k):
-        pin = f"{worker_cores * i}-{worker_cores * (i + 1) - 1}"
-        cmd = [sys.executable, __file__, "--scaling-worker",
-               str(worker_cores), sf_dir, "threads"]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", pin] + cmd
-        procs.append(subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    secs = []
-    for p in procs:
-        out, err = p.communicate()
-        lines = [l for l in out.splitlines() if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(
-                f"ceiling worker produced no JSON (rc={p.returncode}); "
-                f"stderr tail: {err[-2000:]}"
-            )
-        secs.append(json.loads(lines[-1])["seconds"])
+
+    def one_concurrent_round() -> list[float]:
+        procs = []
+        for i in range(k):
+            pin = f"{worker_cores * i}-{worker_cores * (i + 1) - 1}"
+            cmd = [sys.executable, __file__, "--scaling-worker",
+                   str(worker_cores), sf_dir, "threads"]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", pin] + cmd
+            procs.append(subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        secs = []
+        for p in procs:
+            out, err = p.communicate()
+            lines = [l for l in out.splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"ceiling worker produced no JSON (rc={p.returncode}); "
+                    f"stderr tail: {err[-2000:]}"
+                )
+            secs.append(json.loads(lines[-1])["seconds"])
+        return secs
+
+    rounds = [one_concurrent_round() for _ in range(SCALE_REPS)]
+    best = min(rounds, key=max)  # the least-interfered concurrent round
     return {
         "single_8core_sec": round(single["seconds"], 3),
-        "concurrent_8core_secs": [round(s, 3) for s in secs],
-        "ceiling_efficiency": round(single["seconds"] / max(secs), 3),
+        "single_rep_secs": single["rep_seconds"],
+        "concurrent_8core_secs": [round(s, 3) for s in best],
+        "concurrent_rounds_max_sec": [round(max(r), 3) for r in rounds],
+        "ceiling_efficiency": round(single["seconds"] / max(best), 3),
     }
 
 
