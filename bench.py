@@ -54,6 +54,9 @@ HEADLINE = [
     "docs_without_edges",
     "klsh_lloyd",
     "encoder_forward",
+    "lang_pivot",
+    "value_percentiles",
+    "purchasers_with_errors",
 ]
 
 

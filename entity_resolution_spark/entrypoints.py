@@ -675,6 +675,51 @@ def q_two_stage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:  # B6
     )
 
 
+_PIVOT_LANGS = ["en", "de", "es", "fr"]
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT shape: per source, document counts by language (wide) + total
+    chars — the crosstab a corpus-composition report needs.  Explicit pivot
+    value list so the plan is a single hash aggregate (no distinct-values
+    pre-pass) with deterministic output columns."""
+    d = _doc(spark, sf_dir)
+    p = (
+        d.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    tot = d.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
+    return p.join(tot, "source").select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(f"n_{lang}")
+            for lang in _PIVOT_LANGS
+        ],
+        "total_chars",
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based `percentile`,
+    not the approximate sketch) — p50/p90/p99 of event value by type."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_purchasers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT shape: users who both purchased and hit an error."""
+    e = _events(spark, sf_dir)
+    a = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = e.where(F.col("event_type") == "error").select("user_id").distinct()
+    return a.intersect(b)
+
+
 def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1
     from .functions.blocking_keys import soundex_key
 
@@ -734,6 +779,9 @@ def _raw_queries() -> dict[str, QueryFn]:
         "user_sessions": q_user_sessions,
         "event_rollup": q_event_rollup,
         "docs_without_edges": q_docs_without_edges,
+        "lang_pivot": q_lang_pivot,
+        "value_percentiles": q_value_percentiles,
+        "purchasers_with_errors": q_purchasers_with_errors,
     }
 
 
@@ -1577,6 +1625,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": _simhash_sql(max_hamming=3),
         "klsh_lloyd": _klsh_lloyd_sql(k=4, iters=5),
         "encoder_forward": _encoder_forward_sql(),
+        "lang_pivot": f"""
+            SELECT source,
+                   {", ".join(f"count(*) FILTER (lang = '{lang}') AS n_{lang}"
+                              for lang in _PIVOT_LANGS)},
+                   sum(n_chars)::bigint AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "purchasers_with_errors": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
         "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
         "ann_lsh_topk": _ann_lsh_sql(),
         "soundex_keys": _soundex_sql(),
