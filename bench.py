@@ -140,6 +140,15 @@ def run_default() -> None:
                 "candidate_pairs": n_pairs,
                 "candidate_pairs_per_sec": round(n_pairs / max(dt_pairs, 1e-9)),
                 "cpus": CPUS,
+                "n_queries": len(HEADLINE),
+                # apples-to-apples vs the previous round (the headline set
+                # grows each round, so raw totals aren't comparable)
+                "comparable_total": round(
+                    sum(v for n, v in timings.items() if n in prev), 3
+                ),
+                "prev_comparable_total": round(
+                    sum(v for n, v in prev.items() if n in timings), 3
+                ),
                 "prev_round": prev_tag,
                 "host_drift_ratio": round(drift, 3),
                 "regressions": regressions,
