@@ -592,8 +592,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata embeddings have no true near-dups (max pairwise cosine ≈0.48),
     # so the demo threshold is 0.3: nonzero LSH-collision pairs to verify
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.3, dim=64
-    ).select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+        _emb(spark, sf_dir), threshold=0.3, dim=64, output_round_to=4
+    )
 
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,15 +1140,17 @@ def _embedding_near_dups_sql(
         ),
         scored AS (
             SELECT id1, id2,
-                   round(list_dot_product(a.embedding, b.embedding)
-                   / (sqrt(list_dot_product(a.embedding, a.embedding))
-                      * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos6
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS raw
             FROM cands
             JOIN embeddings a ON a.vec_id = id1
             JOIN embeddings b ON b.vec_id = id2
         )
-        SELECT id1, id2, round(cos6, 4) AS cosine
-        FROM scored WHERE cos6 >= {threshold}
+        -- output rounds the RAW cosine: double-rounding (raw -> 6dp -> 4dp)
+        -- parks ~1% of values on 4dp midpoints where engines disagree
+        SELECT id1, id2, round(raw, 4) AS cosine
+        FROM scored WHERE round(raw, 6) >= {threshold}
     """
 
 
@@ -1171,17 +1173,19 @@ def _ann_lsh_sql(
         ),
         sims AS (
             SELECT query_id, neighbor_id,
-                   round(list_dot_product(a.embedding, b.embedding)
-                   / (sqrt(list_dot_product(a.embedding, a.embedding))
-                      * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS sim
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS raw
             FROM cands
             JOIN embeddings a ON a.vec_id = query_id
             JOIN embeddings b ON b.vec_id = neighbor_id
         )
-        SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM (
-            SELECT query_id, neighbor_id, sim,
+        -- rank on the 6dp-rounded value (round-before-rank), output the
+        -- 4dp-rounded RAW (double-rounding midpoint hazard)
+        SELECT query_id, neighbor_id, round(raw, 4) AS cosine FROM (
+            SELECT query_id, neighbor_id, raw,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY sim DESC, neighbor_id ASC) AS rn
+                                      ORDER BY round(raw, 6) DESC, neighbor_id ASC) AS rn
             FROM sims
         ) WHERE rn <= {k}
     """
@@ -1484,15 +1488,16 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
             sims AS (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                       round(list_dot_product(q.embedding, e.embedding)
-                       / (sqrt(list_dot_product(q.embedding, q.embedding))
-                          * sqrt(list_dot_product(e.embedding, e.embedding))), 6) AS sim
+                       list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS raw
                 FROM q JOIN embeddings e ON q.vec_id <> e.vec_id
             )
-            SELECT query_id, neighbor_id, round(sim, 4) AS cosine FROM (
-                SELECT query_id, neighbor_id, sim,
+            -- rank on 6dp (round-before-rank), output 4dp of RAW
+            SELECT query_id, neighbor_id, round(raw, 4) AS cosine FROM (
+                SELECT query_id, neighbor_id, raw,
                        row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, neighbor_id ASC) AS rn
+                                          ORDER BY round(raw, 6) DESC, neighbor_id ASC) AS rn
                 FROM sims
             ) WHERE rn <= 5
         """,
@@ -1766,9 +1771,9 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
             sp AS (
                 SELECT round(
-                         list_dot_product(a.embedding, b.embedding)
-                         / (sqrt(list_dot_product(a.embedding, a.embedding))
-                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS s,
+                         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS s,
                        (a.label = b.label)::int AS y
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             ),
@@ -1786,9 +1791,9 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
             sp AS (
                 SELECT round(
-                         list_dot_product(a.embedding, b.embedding)
-                         / (sqrt(list_dot_product(a.embedding, a.embedding))
-                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS s,
+                         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS s,
                        (a.label = b.label)::int AS y
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
             ),

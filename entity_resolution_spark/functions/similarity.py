@@ -82,22 +82,38 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
 # Embedding / vector scoring (JVM-side)
 # ---------------------------------------------------------------------------
 
+# Element products are computed in float64 (cast BEFORE multiply): float32 ×
+# float32 in float32 loses ~1e-7, which straddles the 4dp output grid a few
+# times per thousand pairs and diverges from the float64 oracle (hit at
+# sf0.1: 2/1135 near-dup cosines off by 1 ulp of the 4th decimal).
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
 
 
 def l2_norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
 
 
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )

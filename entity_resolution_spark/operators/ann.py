@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # float64 multiply (see functions.similarity.dot: float32 products
+    # straddle the 4dp output grid vs the float64 oracle)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
@@ -36,7 +38,11 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+        F.aggregate(
+            a,
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
 
 
@@ -65,22 +71,27 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            # round BEFORE ranking: last-ulp float differences between engines
-            # must not decide the k-th rank (same discipline as
-            # entrypoints._emb_pairs_scored); ties break on neighbor_id
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
-            ).alias("sim"),
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("_raw"),
         )
+        # round BEFORE ranking: last-ulp float differences between engines
+        # must not decide the k-th rank (same discipline as
+        # entrypoints._emb_pairs_scored); ties break on neighbor_id
+        .withColumn("sim", F.round("_raw", 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    out = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
-    )
+    out = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    # Output rounds the RAW value, never the 6dp-rounded one: double-rounding
+    # (raw → 6dp → 4dp) parks ~1% of values exactly on 4dp midpoints, where
+    # engines disagree on the half-way direction (hit at sf0.1).
     if round_to is not None:
-        out = out.withColumn("cosine", F.round("cosine", round_to))
+        out = out.select(
+            "query_id", "neighbor_id", F.round("_raw", round_to).alias("cosine")
+        )
+    else:
+        out = out.select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
     return out
 
 
@@ -223,19 +234,21 @@ def ivf_topk(
     sims = cands.select(
         "query_id",
         "neighbor_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("_raw"),
         # round-before-rank (see cosine_topk)
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
-        ).alias("sim"),
-    )
+    ).withColumn("sim", F.round("_raw", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    out = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
-    )
+    out = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    # output rounds the raw value (double-rounding hazard — see cosine_topk)
     if round_to is not None:
-        out = out.withColumn("cosine", F.round("cosine", round_to))
+        out = out.select(
+            "query_id", "neighbor_id", F.round("_raw", round_to).alias("cosine")
+        )
+    else:
+        out = out.select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
     return out
 
 
@@ -286,17 +299,19 @@ def lsh_topk(
     sims = cands.select(
         "query_id",
         "neighbor_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("_raw"),
         # round-before-rank (see cosine_topk)
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
-        ).alias("sim"),
-    )
+    ).withColumn("sim", F.round("_raw", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    out = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
-    )
+    out = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    # output rounds the raw value (double-rounding hazard — see cosine_topk)
     if round_to is not None:
-        out = out.withColumn("cosine", F.round("cosine", round_to))
+        out = out.select(
+            "query_id", "neighbor_id", F.round("_raw", round_to).alias("cosine")
+        )
+    else:
+        out = out.select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
     return out

@@ -508,8 +508,15 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int | None = None,
+    output_round_to: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold: SRP-LSH buckets → exact cosine filter."""
+    """Pairs with cosine ≥ threshold: SRP-LSH buckets → exact cosine filter.
+
+    ``output_round_to`` rounds the output cosine from the RAW value (the
+    threshold always applies to the 6dp-rounded one): rounding the already-
+    6dp-rounded value again would park ~1% of outputs exactly on the coarser
+    grid's midpoints, where engines disagree on the half-way direction.
+    """
     from ..functions.similarity import cosine
     from .ann import _srp_signature
 
@@ -548,9 +555,15 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         # round BEFORE the threshold: a cosine within one ulp of the cut must
         # not pass in one engine and fail in the oracle
-        cands.select("id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cosine"))
+        cands.select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("_raw"))
+        .withColumn("cosine", F.round("_raw", 6))
         .where(F.col("cosine") >= threshold)
     )
+    if output_round_to is not None:
+        return out.select(
+            "id1", "id2", F.round("_raw", output_round_to).alias("cosine")
+        )
+    return out.select("id1", "id2", "cosine")
