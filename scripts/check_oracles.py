@@ -38,7 +38,9 @@ def main() -> None:
     from entity_resolution_spark.session import get_spark
 
     spark = get_spark(app_name="oracle-check")
-    con = duckdb.connect()
+    # spill outside the repo: big oracles (keep-list at sf0.1) out-of-core
+    # to ./.tmp otherwise — 32 GB of temp landed inside the git tree once
+    con = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill"})
     for t in entry_mod.TABLES:
         try:
             con.execute(
