@@ -57,6 +57,10 @@ HEADLINE = [
     "lang_pivot",
     "value_percentiles",
     "purchasers_with_errors",
+    "repetition_signals",
+    "chunk_dups",
+    "purchase_attribution",
+    "error_nearby_views",
 ]
 
 

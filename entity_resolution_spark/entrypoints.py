@@ -728,6 +728,82 @@ def q_soundex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:  # B1
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition/diversity signals."""
+    from .operators.webtext import repetition_signals
+
+    return repetition_signals(_doc(spark, sf_dir))
+
+
+def q_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document duplicated 8-token chunks."""
+    from .operators.webtext import cross_doc_chunk_dups
+
+    return cross_doc_chunk_dups(_doc(spark, sf_dir), chunk_tokens=8, min_docs=2)
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the same user's latest click
+    at-or-before it (union-marker single window pass — no range join).
+    Sentinels (-1 / 1900-01-01) replace NULLs for never-clicked purchases so
+    the oracle compare is NULL-free."""
+    from .operators.relational import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        right_value_cols=["click_id", "ts"],
+        right_tie_col="click_id",
+    )
+    clicked = F.col("r_click_id").isNotNull()
+    micros = F.expr("timestampdiff(MICROSECOND, r_ts, ts)")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("r_click_id"), F.lit(-1)).cast("long").alias("click_id"),
+        F.coalesce(
+            F.col("r_ts"), F.lit("1900-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("click_ts"),
+        F.coalesce(F.when(clicked, micros), F.lit(-1)).cast("long").alias(
+            "micros_since_click"
+        ),
+    )
+
+
+def q_error_nearby_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: per error event, how many views by the same user
+    within ±5 minutes (bucket-explode equi-join, never a BNLJ/cartesian)."""
+    from .operators.relational import bucketed_range_join
+
+    e = _events(spark, sf_dir)
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts")
+    paired = bucketed_range_join(
+        errors, views, key="user_id", ts_col="ts", radius_micros=300_000_000
+    )
+    counts = paired.groupBy("event_id").agg(F.count("*").alias("n_nearby_views"))
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n_nearby_views"), F.lit(0)).cast("long").alias(
+            "n_nearby_views"
+        ),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         k: _wrap(v)
@@ -782,6 +858,10 @@ def _raw_queries() -> dict[str, QueryFn]:
         "lang_pivot": q_lang_pivot,
         "value_percentiles": q_value_percentiles,
         "purchasers_with_errors": q_purchasers_with_errors,
+        "repetition_signals": q_repetition_signals,
+        "chunk_dups": q_chunk_dups,
+        "purchase_attribution": q_purchase_attribution,
+        "error_nearby_views": q_error_nearby_views,
     }
 
 
@@ -1809,5 +1889,114 @@ def oracle_sql() -> dict[str, str]:
                    round(tp / greatest(tp + fn, 1), 6) AS recall,
                    round((tp + tn) / greatest(tp + fp + fn + tn, 1), 6) AS accuracy
             FROM c
+        """,
+        "repetition_signals": """
+            WITH lst AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(range(1, len(toks) + 1)) AS pos
+                FROM lst
+            ),
+            tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+            per_doc AS (
+                SELECT doc_id, sum(cnt)::bigint AS n_tokens,
+                       count(*) AS n_distinct, max(cnt) AS top_token_count
+                FROM tc GROUP BY 1
+            ),
+            bg AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+            bdoc AS (
+                SELECT doc_id, sum(cnt)::bigint AS n_bigrams,
+                       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::bigint AS dup_occ
+                FROM bc GROUP BY 1
+            )
+            SELECT p.doc_id, p.n_tokens, p.n_distinct,
+                   round(p.n_distinct / p.n_tokens, 6) AS distinct_ratio,
+                   p.top_token_count,
+                   round(p.top_token_count / p.n_tokens, 6) AS top_token_frac,
+                   coalesce(b.n_bigrams, 0)::bigint AS n_bigrams,
+                   round(coalesce(b.dup_occ, 0)
+                         / greatest(coalesce(b.n_bigrams, 0), 1), 6)
+                       AS dup_bigram_frac
+            FROM per_doc p LEFT JOIN bdoc b USING (doc_id)
+        """,
+        "chunk_dups": """
+            WITH lst AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(range(1, len(toks) + 1)) AS pos
+                FROM lst
+            ),
+            chunk AS (
+                SELECT doc_id, (pos - 1) // 8 AS cid,
+                       string_agg(tok, ' ' ORDER BY pos) AS chunk
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT md5(chunk) AS chunk_md5,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences,
+                   min(doc_id) AS sample_doc_id
+            FROM chunk GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "purchase_attribution": """
+            WITH u AS (
+                SELECT user_id, ts, 1 AS is_l, event_id,
+                       NULL::bigint AS r_click_id, NULL::timestamp AS r_ts
+                FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT user_id, ts, 0, NULL,
+                       event_id, ts
+                FROM events WHERE event_type = 'click'
+            ),
+            carried AS (
+                SELECT user_id, ts, is_l, event_id,
+                       last_value(r_click_id IGNORE NULLS) OVER w AS click_id0,
+                       last_value(r_ts IGNORE NULLS) OVER w AS click_ts0
+                FROM u
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, is_l, coalesce(r_click_id, -1)
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_id, user_id, ts,
+                   coalesce(click_id0, -1)::bigint AS click_id,
+                   coalesce(click_ts0, TIMESTAMP '1900-01-01 00:00:00') AS click_ts,
+                   coalesce(CASE WHEN click_id0 IS NOT NULL THEN
+                            date_diff('microsecond', click_ts0, ts) END,
+                            -1)::bigint AS micros_since_click
+            FROM carried WHERE is_l = 1
+        """,
+        "error_nearby_views": """
+            WITH errors AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            ),
+            views AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'view'
+            ),
+            counts AS (
+                SELECT e.event_id, count(*) AS n
+                FROM errors e JOIN views v
+                  ON e.user_id = v.user_id
+                 AND abs(date_diff('microsecond', e.ts, v.ts)) <= 300000000
+                GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   coalesce(c.n, 0)::bigint AS n_nearby_views
+            FROM errors e LEFT JOIN counts c USING (event_id)
         """,
     }

@@ -1,0 +1,117 @@
+"""Temporal-join operators Spark's DataFrame API lacks as primitives.
+
+``asof_join`` — for each left row, the latest right row at-or-before it
+(per key) — is expressed as a union-marker single window pass: tag the two
+sides, union, and carry the last-seen right attributes forward with
+``last(..., ignorenulls=True)`` over a per-key window.  One shuffle on the
+key, no range join, no per-left-row scan of the right side; at 100 TB this
+is the only as-of formulation whose cost is O((|L|+|R|) log p) — a
+broadcast or bucketed join can't bound the candidate set without the
+time-ordering the window provides.
+
+``bucketed_range_join`` — pairs within a time radius — buckets timestamps
+at the radius, explodes each left row to its 3 adjacent buckets, and
+equi-joins on (key, bucket) before the exact |Δt| filter: the classic
+turn-a-range-join-into-an-equi-join trick, so Catalyst gets a shuffled hash
+join instead of a broadcast-nested-loop cartesian.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    right_value_cols: Sequence[str],
+    right_tie_col: str,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: latest right row with ``right.ts <= left.ts`` per key.
+
+    Ties on the right timestamp break to the largest ``right_tie_col``
+    (deterministic).  Right value columns come back prefixed and NULL when
+    no right row precedes the left row.
+
+    Both inputs must share ``key`` and ``ts_col`` names; output keeps every
+    left column.
+    """
+    lcols = left.columns
+    l = left.withColumn("_is_l", F.lit(1))
+    for c in right_value_cols:
+        l = l.withColumn(prefix + c, F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_tie", F.lit(None).cast(right.schema[right_tie_col].dataType))
+
+    r = right.select(
+        key,
+        ts_col,
+        F.lit(0).alias("_is_l"),
+        *[F.col(c).alias(prefix + c) for c in right_value_cols],
+        F.col(right_tie_col).alias("_tie"),
+    )
+    for c in lcols:
+        if c not in (key, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    u = l.select(r.columns).unionByName(r)
+    # right rows sort before left at equal ts (at-or-before semantics); the
+    # tie column orders equal-ts right rows so `last` picks the max tie
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "_is_l", F.coalesce(F.col("_tie"), F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(prefix + c, ignorenulls=True).over(w).alias(prefix + c)
+        for c in right_value_cols
+    ]
+    return (
+        u.select(*lcols, "_is_l", *carried)
+        .filter(F.col("_is_l") == 1)
+        .drop("_is_l")
+    )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    radius_micros: int,
+    right_alias: str = "r",
+) -> DataFrame:
+    """All (left, right) pairs with same key and |Δts| <= radius.
+
+    Returns the left columns plus the right side's columns renamed with
+    ``right_alias + '_'``.  Equi-join on (key, time bucket) with the left
+    side exploded to its 3 adjacent radius-sized buckets, then the exact
+    radius filter — never a cartesian/BNLJ plan.
+    """
+    # cast NTZ → TIMESTAMP for unix_micros: a uniform timezone shift moves
+    # every bucket edge identically and cancels in the Δt filter
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = F.floor(micros / F.lit(radius_micros))
+    l = left.withColumn(
+        "_bucket", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    )
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        bucket.alias("_bucket"),
+        *[
+            F.col(c).alias(f"{right_alias}_{c}")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    joined = l.join(
+        r, (l[key] == r["_rkey"]) & (l["_bucket"] == r["_bucket"]), "inner"
+    )
+    dt = F.unix_micros(
+        F.col(f"{right_alias}_{ts_col}").cast("timestamp")
+    ) - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return joined.filter(F.abs(dt) <= radius_micros).drop("_bucket", "_rkey")

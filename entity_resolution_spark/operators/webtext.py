@@ -1,0 +1,125 @@
+"""Web-corpus quality/repetition operators for LLM training-data pipelines.
+
+Gopher-style repetition signals (Rae et al., arXiv:2112.11446 §A1.1) and
+CCNet-style cross-document chunk deduplication (Wenzek et al.,
+arXiv:1911.00359) over the ``documents`` table.  Both are pure relational
+plans: tokenization and chunking happen JVM-side as array expressions, the
+per-(doc,token) / per-chunk counting is a hash aggregate with map-side
+partial combine, so each operator is one shuffle keyed by (doc_id, token) /
+chunk hash — no Python crossing, no window over an unpartitioned frame, no
+per-row quadratic array scans (a 10k-token page costs O(n) rows, not O(n²)
+higher-order-function steps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition/diversity signals (Gopher filter family).
+
+    Returns one row per document:
+      n_tokens, n_distinct, distinct_ratio      — vocabulary diversity
+      top_token_count, top_token_frac           — most-frequent-token mass
+      n_bigrams, dup_bigram_frac                — fraction of bigram
+                                                  occurrences whose bigram
+                                                  appears more than once
+    Ratios are single int/int double divisions rounded to 6dp (exact and
+    engine-independent: both operands are integers < 2^53).
+
+    Scale shape: two hash aggregates keyed by (doc, token) and (doc,
+    bigram) — partially combined map-side — then a per-doc rollup and one
+    doc-keyed join.  Bigrams are built JVM-side with ``zip_with`` over two
+    array slices, so no self-join on token position is needed.
+    """
+    toks = tokens(F.col(text_col))
+    tok = docs.select(id_col, F.explode(toks).alias("tok"))
+
+    tc = tok.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_token_count"),
+    )
+
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(id_col, F.explode(bigrams).alias("bg"))
+    bc = bg.groupBy(id_col, "bg").agg(F.count("*").alias("cnt"))
+    bg_doc = bc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_occ"),
+    )
+
+    joined = per_doc.join(bg_doc, id_col, "left")
+    n_bigrams = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    dup_occ = F.coalesce(F.col("dup_occ"), F.lit(0))
+    return joined.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.col("top_token_count").cast("long").alias("top_token_count"),
+        F.round(F.col("top_token_count") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        n_bigrams.cast("long").alias("n_bigrams"),
+        F.round(dup_occ / F.greatest(n_bigrams, F.lit(1)), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+def cross_doc_chunk_dups(
+    docs: DataFrame,
+    chunk_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated chunks (CCNet paragraph-dedup analog).
+
+    Documents are cut into non-overlapping ``chunk_tokens``-token chunks
+    (the trailing partial chunk is kept); a chunk duplicated across >=
+    ``min_docs`` distinct documents is reported with its occurrence counts
+    and the smallest containing doc id.
+
+    Scale shape: chunking is a pure array projection (``transform`` over a
+    ``sequence`` of chunk indices + ``slice``), then a single hash aggregate
+    keyed by the chunk's md5 — the chunk *text* never shuffles, only its
+    hash.  Output is bounded by the number of duplicated chunks.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = docs.select(id_col, F.explode(chunks).alias("chunk"))
+    return (
+        c.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("sample_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1,0 +1,133 @@
+"""Unit tests for operators/relational.py (as-of join, bucketed range join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.operators.relational import (
+    asof_join,
+    bucketed_range_join,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows, cols="event_id long, user_id long, ts timestamp_ntz"):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_asof_join_semantics(spark):
+    purchases = _events(
+        spark,
+        [
+            (100, 1, _ts("2024-01-01 10:00:00")),  # after two clicks
+            (101, 1, _ts("2024-01-01 08:00:00")),  # before any click -> NULL
+            (102, 2, _ts("2024-01-01 12:00:00")),  # equal-ts click matches
+            (103, 3, _ts("2024-01-01 12:00:00")),  # user with no clicks
+        ],
+    )
+    clicks = _events(
+        spark,
+        [
+            (10, 1, _ts("2024-01-01 09:00:00")),
+            (11, 1, _ts("2024-01-01 09:30:00")),  # latest prior for 100
+            (12, 1, _ts("2024-01-01 11:00:00")),  # after purchase 100
+            (20, 2, _ts("2024-01-01 12:00:00")),  # at-or-before: ties at ts
+        ],
+        cols="click_id long, user_id long, ts timestamp_ntz",
+    )
+    out = {
+        r["event_id"]: r.asDict()
+        for r in asof_join(
+            purchases,
+            clicks,
+            key="user_id",
+            ts_col="ts",
+            right_value_cols=["click_id", "ts"],
+            right_tie_col="click_id",
+        ).collect()
+    }
+    assert out[100]["r_click_id"] == 11
+    assert out[101]["r_click_id"] is None and out[101]["r_ts"] is None
+    assert out[102]["r_click_id"] == 20  # equal timestamp counts
+    assert out[103]["r_click_id"] is None
+    assert len(out) == 4  # every left row survives
+
+
+def test_asof_join_equal_ts_tie_breaks_to_max_tie_col(spark):
+    purchases = _events(spark, [(1, 7, _ts("2024-01-01 10:00:00"))])
+    clicks = _events(
+        spark,
+        [
+            (50, 7, _ts("2024-01-01 09:00:00")),
+            (51, 7, _ts("2024-01-01 09:00:00")),  # same ts -> pick max id
+        ],
+        cols="click_id long, user_id long, ts timestamp_ntz",
+    )
+    (row,) = asof_join(
+        purchases, clicks, "user_id", "ts", ["click_id"], "click_id"
+    ).collect()
+    assert row["r_click_id"] == 51
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(42)
+    base = _ts("2024-01-01 00:00:00")
+    left = _events(
+        spark,
+        [
+            (i, rng.randrange(3), base + dt.timedelta(seconds=rng.randrange(7200)))
+            for i in range(60)
+        ],
+    )
+    right = _events(
+        spark,
+        [
+            (1000 + i, rng.randrange(3), base + dt.timedelta(seconds=rng.randrange(7200)))
+            for i in range(80)
+        ],
+        cols="rid long, user_id long, ts timestamp_ntz",
+    )
+    radius = 300_000_000  # 5 min
+    got = {
+        (r["event_id"], r["r_rid"])
+        for r in bucketed_range_join(
+            left, right, key="user_id", ts_col="ts", radius_micros=radius
+        ).collect()
+    }
+    naive = {
+        (r["event_id"], r["rid"])
+        for r in left.alias("l")
+        .join(right.alias("r"), "user_id")
+        .where(
+            F.abs(
+                F.expr("timestampdiff(MICROSECOND, l.ts, r.ts)")
+            )
+            <= radius
+        )
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_bucketed_range_join_inclusive_boundary(spark):
+    left = _events(spark, [(1, 1, _ts("2024-01-01 10:00:00"))])
+    right = _events(
+        spark,
+        [
+            (10, 1, _ts("2024-01-01 10:05:00")),  # exactly +radius: included
+            (11, 1, _ts("2024-01-01 10:05:00.000001")),  # just over: excluded
+            (12, 2, _ts("2024-01-01 10:00:00")),  # wrong key
+        ],
+        cols="rid long, user_id long, ts timestamp_ntz",
+    )
+    rows = bucketed_range_join(
+        left, right, key="user_id", ts_col="ts", radius_micros=300_000_000
+    ).collect()
+    assert [r["r_rid"] for r in rows] == [10]
