@@ -61,6 +61,7 @@ HEADLINE = [
     "chunk_dups",
     "purchase_attribution",
     "error_nearby_views",
+    "doc_filter",
 ]
 
 

@@ -804,6 +804,48 @@ def q_error_nearby_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data keep/drop filter composing the text-quality
+    operators: heuristic quality score, language ID, and the Gopher
+    repetition signals.  Thresholds apply to the 6dp-rounded values on both
+    sides (round-before-threshold).  Reasons are priority-ordered; `keep`
+    is 0/1."""
+    from .functions.text import lang_guess, quality_score
+    from .operators.webtext import repetition_signals
+
+    d = _doc(spark, sf_dir)
+    sig = repetition_signals(d).select(
+        "doc_id", "distinct_ratio", "dup_bigram_frac"
+    )
+    base = d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        lang_guess(F.col("text")).alias("lang_pred"),
+    )
+    j = base.join(sig, "doc_id")
+    fail_lang = F.col("lang_pred") == "und"
+    fail_q = F.col("quality") < 0.5
+    fail_rep = F.col("dup_bigram_frac") > 0.12
+    fail_div = F.col("distinct_ratio") < 0.35
+    keep = ~(fail_lang | fail_q | fail_rep | fail_div)
+    reason = (
+        F.when(fail_lang, "lang_unknown")
+        .when(fail_q, "low_quality")
+        .when(fail_rep, "repetitive")
+        .when(fail_div, "low_diversity")
+        .otherwise("ok")
+    )
+    return j.select(
+        "doc_id",
+        "quality",
+        "distinct_ratio",
+        "dup_bigram_frac",
+        "lang_pred",
+        keep.cast("long").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         k: _wrap(v)
@@ -862,6 +904,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "chunk_dups": q_chunk_dups,
         "purchase_attribution": q_purchase_attribution,
         "error_nearby_views": q_error_nearby_views,
+        "doc_filter": q_doc_filter,
     }
 
 
@@ -1998,5 +2041,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts,
                    coalesce(c.n, 0)::bigint AS n_nearby_views
             FROM errors e LEFT JOIN counts c USING (event_id)
+        """,
+        "doc_filter": """
+            WITH s AS (
+                SELECT doc_id, length(text) AS n,
+                       length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
+                           / greatest(length(text), 1) AS punct_ratio,
+                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
+                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')), 1) AS sw_ratio
+                FROM documents
+            ),
+            qual AS (
+                SELECT doc_id,
+                       round((least(n / 500.0, 1.0)
+                              + (1.0 - least(punct_ratio * 4.0, 1.0))
+                              + least(sw_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+                FROM s
+            ),
+            toks AS (
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                FROM documents
+            ),
+            lscores AS (
+                SELECT doc_id, lang, score FROM (
+                    SELECT doc_id, 'de' AS lang,
+                           len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','von','zu'))) AS score FROM toks
+                    UNION ALL
+                    SELECT doc_id, 'en',
+                           len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) FROM toks
+                    UNION ALL
+                    SELECT doc_id, 'es',
+                           len(list_filter(t, x -> x IN ('el','la','de','que','los','una','con','por','para','es'))) FROM toks
+                    UNION ALL
+                    SELECT doc_id, 'fr',
+                           len(list_filter(t, x -> x IN ('le','la','et','les','des','est','pas','une','dans','que'))) FROM toks
+                )
+            ),
+            lang_best AS (
+                SELECT doc_id,
+                       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+                FROM (SELECT doc_id, lang, score,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, lang DESC) AS rn
+                      FROM lscores)
+                WHERE rn = 1
+            ),
+            lst AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(range(1, len(toks) + 1)) AS pos
+                FROM lst
+            ),
+            tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+            dr AS (
+                SELECT doc_id, round(count(*) / sum(cnt)::bigint, 6) AS distinct_ratio
+                FROM tc GROUP BY 1
+            ),
+            bg AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+            bdoc AS (
+                SELECT doc_id,
+                       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::bigint
+                             / greatest(sum(cnt)::bigint, 1), 6) AS dup_bigram_frac
+                FROM bc GROUP BY 1
+            ),
+            joined AS (
+                SELECT q.doc_id, q.quality, dr.distinct_ratio,
+                       coalesce(bdoc.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+                       lb.lang_pred
+                FROM qual q
+                JOIN dr USING (doc_id)
+                LEFT JOIN bdoc USING (doc_id)
+                JOIN lang_best lb USING (doc_id)
+            )
+            SELECT doc_id, quality, distinct_ratio, dup_bigram_frac, lang_pred,
+                   (NOT (lang_pred = 'und' OR quality < 0.5
+                         OR dup_bigram_frac > 0.12
+                         OR distinct_ratio < 0.35))::bigint AS keep,
+                   CASE WHEN lang_pred = 'und' THEN 'lang_unknown'
+                        WHEN quality < 0.5 THEN 'low_quality'
+                        WHEN dup_bigram_frac > 0.12 THEN 'repetitive'
+                        WHEN distinct_ratio < 0.35 THEN 'low_diversity'
+                        ELSE 'ok' END AS reason
+            FROM joined
         """,
     }

@@ -116,6 +116,57 @@ def test_bucketed_range_join_matches_naive(spark):
     assert got == naive and len(naive) > 0
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential oracle: seeded random events vs pandas.merge_asof
+    (backward, allow_exact_matches).  Right timestamps are unique per key so
+    both implementations' tie rules coincide."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01 00:00:00")
+    lrows = [
+        (i, rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(86400)))
+        for i in range(120)
+    ]
+    # unique (user, ts) on the right: sample offsets without replacement
+    rrows = []
+    rid = 1000
+    for user in range(5):
+        for off in rng.sample(range(86400), 150):
+            rrows.append((rid, user, base + dt.timedelta(seconds=off)))
+            rid += 1
+    left = _events(spark, lrows)
+    right = _events(
+        spark, rrows, cols="click_id long, user_id long, ts timestamp_ntz"
+    )
+    out = (
+        asof_join(left, right, "user_id", "ts", ["click_id"], "click_id")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["click_id", "user_id", "ts"]).sort_values("ts")
+    exp = (
+        pd.merge_asof(
+            lp,
+            rp,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = out["r_click_id"].astype("float64").values
+    want = exp["click_id"].astype("float64").values
+    assert len(got) == len(want) == 120
+    assert ((got == want) | (pd.isna(got) & pd.isna(want))).all()
+
+
 def test_bucketed_range_join_inclusive_boundary(spark):
     left = _events(spark, [(1, 1, _ts("2024-01-01 10:00:00"))])
     right = _events(
