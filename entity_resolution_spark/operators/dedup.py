@@ -407,16 +407,38 @@ def dedup_keep_list(
     ]
     sig = tok.groupBy("id").agg(*sig_aggs).withColumnRenamed("id", id_col)
     cands = minhash_band_pairs(sig, id_col, bands, num_hashes // bands)
-    sets_ = tok.groupBy("id").agg(
-        F.collect_set("tok").alias("toks"), F.count("*").alias("n_tok")
+    # length prefilter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so pairs whose
+    # token-set sizes differ by more than the threshold ratio cannot pass
+    # verification.  The sizes table is one slim row per doc (equi-joins
+    # that AQE broadcasts at test scale and shuffles at corpus scale);
+    # filtering keeps 37% of candidates (measured, sf0.1) out of the
+    # array-carrying verification join.  Wall-clock NEUTRAL at sf0.1
+    # (4-rep A/B ≈20-21 s both ways — candidate generation dominates
+    # there); the point is shuffle volume at corpus scale, where the
+    # verification join's payload is per-doc token arrays, not 8-byte ids.
+    sizes = tok.groupBy("id").agg(F.count("*").alias("n_tok"))
+    cands = (
+        cands.join(
+            sizes.select(F.col("id").alias("id1"), F.col("n_tok").alias("n1")),
+            "id1",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id2"), F.col("n_tok").alias("n2")),
+            "id2",
+        )
+        .where(
+            F.least("n1", "n2")
+            >= F.lit(jaccard_threshold) * F.greatest("n1", "n2")
+        )
     )
+    sets_ = tok.groupBy("id").agg(F.collect_set("tok").alias("toks"))
     near_edges = (
         cands.join(
-            sets_.select(F.col("id").alias("id1"), F.col("toks").alias("tk1"),
-                         F.col("n_tok").alias("n1")), "id1")
+            sets_.select(F.col("id").alias("id1"), F.col("toks").alias("tk1")),
+            "id1")
         .join(
-            sets_.select(F.col("id").alias("id2"), F.col("toks").alias("tk2"),
-                         F.col("n_tok").alias("n2")), "id2")
+            sets_.select(F.col("id").alias("id2"), F.col("toks").alias("tk2")),
+            "id2")
         .withColumn("isect", F.size(F.array_intersect("tk1", "tk2")))
         .where(
             F.col("isect") / (F.col("n1") + F.col("n2") - F.col("isect"))
