@@ -11,9 +11,11 @@
   (hash-based, seed 42) so results are reproducible across runs/cluster sizes.
 
 At 100 TB the corpus side stays partitioned; only signatures (8-64 bytes/row)
-shuffle, and the exact-rerank join touches candidate rows alone.  An IVF
-variant would replace the hash bucketing with a KMeans coarse quantizer —
-the bucketing/rerank plumbing here is identical.
+shuffle, and the exact-rerank join touches candidate rows alone.
+* ``ivf_topk`` — KMeans coarse quantizer → inverted lists → probe + rerank.
+* ``pq_topk`` — product quantization: the corpus compresses to ``m``-byte
+  codes read in one ``mapInPandas`` ADC scan (per-query lookup tables
+  broadcast), two-phase exact top-C candidate selection, exact rerank.
 """
 
 from __future__ import annotations
@@ -315,3 +317,203 @@ def lsh_topk(
     else:
         out = out.select("query_id", "neighbor_id", F.col("sim").alias("cosine"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (compressed-domain ANN)
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: split the (L2-normalized) vector into ``m``
+    subspaces and run seeded KMeans with ``ksub`` centroids in each.
+
+    Same bounded-deterministic-sample shape as ``ivf_train_centroids``:
+    O(sample * dim) driver-side regardless of corpus size.  Returns
+    ``(m, ksub, dim//m)`` float64 codebooks.  Vectors are L2-normalized
+    before training so code distances order like cosine distances.
+    """
+    from ..ml.kmeans import kmeans_fit_predict
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("empty corpus")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(sub))
+        labels, _ = kmeans_fit_predict(sub, k, seed=seed + j, n_init=2)
+        centers = np.vstack(
+            [
+                sub[labels == c].mean(axis=0) if (labels == c).any() else sub[0]
+                for c in range(k)
+            ]
+        )
+        if k < ksub:  # degenerate tiny corpus: pad with the first center
+            centers = np.vstack([centers, np.repeat(centers[:1], ksub - k, 0)])
+        books[j] = centers
+    return books
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN: encode the corpus to ``m``-byte codes, scan codes with
+    per-query ADC lookup tables, keep the best ``rerank`` candidates per
+    query, then exact-cosine rerank (round-before-rank at 6dp).
+
+    Scale shape (the IVF-PQ recipe without the coarse stage):
+
+    * the corpus is read ONCE to produce codes (Arrow-batched UDF); full
+      vectors never shuffle — the codes table is ``m`` bytes + id per row;
+    * the query side (assumed small, as in ``cosine_topk``) is collected and
+      shipped as a broadcast of per-query LUTs (``n_q x m x ksub`` float64);
+    * ``mapInPandas`` over the codes emits each batch's top-``rerank`` per
+      query — two-phase top-k (per-batch then global) is EXACT for the
+      (dist, id) ordering, so the candidate set is partition-invariant;
+    * only ``n_q x rerank`` id pairs reach the exact-rerank join.
+
+    With ``rerank >= |corpus|`` the result equals ``cosine_topk`` exactly.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_, ksub_, dsub = books.shape
+    spark = corpus.sparkSession
+    bc_books = spark.sparkContext.broadcast(books)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        B = bc_books.value
+        Xb = np.stack(v.to_numpy()).astype(np.float64)
+        Xb = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
+        mm, kk, dd = B.shape
+        codes = np.empty((len(Xb), mm), dtype=np.int32)
+        for j in range(mm):
+            sub = Xb[:, j * dd : (j + 1) * dd]
+            d2 = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ B[j].T
+                + (B[j] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    codes_df = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # ADC LUT: luts[q, j, c] = ||Q[q] subvec j - codebook[j][c]||^2 term;
+    # constant ||q||^2 per query drops out of the per-query ranking
+    luts = np.empty((len(Q), m_, ksub_), dtype=np.float64)
+    for j in range(m_):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (
+            -2.0 * qs @ books[j].T + (books[j] ** 2).sum(axis=1)[None, :]
+        )
+    bc_luts = spark.sparkContext.broadcast((q_ids, luts))
+
+    out_schema = "query_id long, neighbor_id long, adist double"
+
+    def scan(batches):
+        qid, L = bc_luts.value
+        nq, mm, kk = L.shape
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            # approx distance: sum_j L[q, j, code_j]  -> (nq, B)
+            D = np.zeros((nq, len(ids)), dtype=np.float64)
+            for j in range(mm):
+                D += L[:, j, :][:, C[:, j]]
+            take = min(rerank, len(ids))
+            rows = {"query_id": [], "neighbor_id": [], "adist": []}
+            for qi in range(nq):
+                # exclude the query's own row HERE: if self merely occupied a
+                # top-`take` slot and were filtered later, the batch would
+                # contribute one candidate fewer than batches without self —
+                # making the two-phase result depend on partitioning
+                d = np.where(ids == qid[qi], np.inf, D[qi])
+                # (dist, id) lexsort so boundary ties resolve identically in
+                # every batch — keeps the two-phase top-k partition-invariant
+                sel = np.lexsort((ids, d))[:take]
+                sel = sel[np.isfinite(d[sel])]
+                rows["query_id"].extend([qid[qi]] * len(sel))
+                rows["neighbor_id"].extend(ids[sel].tolist())
+                rows["adist"].extend(d[sel].tolist())
+            yield pd.DataFrame(rows)
+
+    approx = codes_df.mapInPandas(scan, schema=out_schema).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wA = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    cand_ids = (
+        approx.withColumn("arn", F.row_number().over(wA))
+        .where(F.col("arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cdf = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        cand_ids.join(F.broadcast(qdf), "query_id")
+        .join(cdf, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("_raw"),
+        )
+        .withColumn("sim", F.round("_raw", 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    if round_to is not None:
+        return out.select(
+            "query_id", "neighbor_id", F.round("_raw", round_to).alias("cosine")
+        )
+    return out.select("query_id", "neighbor_id", F.col("sim").alias("cosine"))

@@ -67,3 +67,69 @@ def test_lsh_topk_empty_corpus(spark):
     got = ann.lsh_topk(empty, empty, k=3)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["query_id", "neighbor_id", "cosine"]
+
+
+def test_pq_full_rerank_equals_bruteforce(spark):
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 8)
+    exact = _topk_map(ann.cosine_topk(q, emb, k=5, round_to=6))
+    pq = _topk_map(
+        ann.pq_topk(q, emb, k=5, m=4, ksub=16, rerank=200, round_to=6)
+    )
+    assert pq == exact  # rerank >= |corpus| makes PQ exact
+
+
+def test_pq_partial_rerank_recall(spark):
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 10)
+    exact = _topk_map(ann.cosine_topk(q, emb, k=5, round_to=6))
+    pq = _topk_map(ann.pq_topk(q, emb, k=5, m=4, ksub=16, rerank=15, round_to=6))
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        want = {n for n, _ in nbrs}
+        got = {n for n, _ in pq.get(qid, [])}
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.9, hits / total
+
+
+def test_pq_partition_invariant(spark):
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    books = ann.pq_train(emb, m=4, ksub=16)
+    a = sorted(
+        map(
+            tuple,
+            ann.pq_topk(
+                q, emb.coalesce(1), k=3, m=4, ksub=16, rerank=10,
+                codebooks=books, round_to=6,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ann.pq_topk(
+                q, emb.repartition(16), k=3, m=4, ksub=16, rerank=10,
+                codebooks=books, round_to=6,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 15
+
+
+def test_pq_on_testdata_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = _topk_map(ann.cosine_topk(q, emb, k=5, round_to=4))
+    # testdata embeddings are near-random (no cluster structure — the
+    # hardest case for ADC ranking), so the rerank pool is 30% of the
+    # corpus; the clustered-data test above covers the realistic regime
+    pq = _topk_map(ann.pq_topk(q, emb, k=5, m=8, ksub=16, rerank=150, round_to=4))
+    hits = total = 0
+    for qid, nbrs in exact.items():
+        want = {n for n, _ in nbrs}
+        got = {n for n, _ in pq.get(qid, [])}
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.8, hits / total
