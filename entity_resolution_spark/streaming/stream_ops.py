@@ -13,6 +13,8 @@ applied on a stream, with watermarks bounding state.
 * ``sessionize`` — ``applyInPandasWithState`` example of a custom stateful
   operator: per-user event sessions split on a gap timeout.  State is one
   small tuple per key; timeouts evict idle keys so state is bounded.
+* ``stream_purchase_click_pairs`` — stream-stream interval join with
+  watermarks on both sides; buffered state expires at watermark + window.
 """
 
 from __future__ import annotations
@@ -202,4 +204,48 @@ def sessionize(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def stream_purchase_click_pairs(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with the same
+    user's clicks in the preceding ``attribution_window`` — the streaming
+    analog of the batch as-of/range attribution (``relational.asof_join``
+    feeds the top-1 variant downstream).
+
+    Both sides carry watermarks and the join predicate bounds click time to
+    ``[purchase_ts - window, purchase_ts]``, so Spark can expire buffered
+    rows once the watermark passes — state is bounded by (watermark +
+    window) of traffic per user, never the full history.
+    """
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        "user_id = c_user AND click_ts <= purchase_ts "
+        f"AND click_ts >= purchase_ts - interval {attribution_window}"
+    )
+    return purchases.join(clicks, cond).select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value"
     )

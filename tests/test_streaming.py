@@ -156,3 +156,40 @@ def test_incremental_candidate_pairs_match_batch(spark, tmp_path):
     }
     assert got == exp
     q.stop()
+
+
+def test_stream_purchase_click_pairs_equals_batch(spark, tmp_path):
+    stream = _stream_events(spark, tmp_path)
+    name = f"att_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(stream_ops.stream_purchase_click_pairs(stream), name)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    exp = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "user_id = c_user AND click_ts <= purchase_ts "
+                "AND click_ts >= purchase_ts - interval 1 hour"
+            ),
+        ).collect()
+    }
+    assert len(exp) > 0
+    # single availableNow batch: the inner interval join emits every pair
+    assert got == exp
+    q.stop()
