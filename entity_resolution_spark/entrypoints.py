@@ -504,6 +504,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # scale ANN 
     return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5, dim=64, round_to=4)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # PQ-ADC ANN (oracled)
+    """Product-quantization ADC top-5 for the first 10 vec_ids, in parity
+    mode: fixed (data-independent) 6dp codebooks shared with the SQL oracle
+    as literals, raw float64 inputs, 6dp round-before-argmin/rank at every
+    cut.  rerank=20 exercises the real approx path (codes → ADC scan →
+    candidate cut → exact rerank), not the rerank>=|corpus| degenerate."""
+    from .operators.ann import pq_fixed_codebooks, pq_topk
+
+    emb = _emb(spark, sf_dir)
+    books = pq_fixed_codebooks(m=4, ksub=16, dsub=16)
+    return pq_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        m=4,
+        ksub=16,
+        rerank=20,
+        codebooks=books,
+        round_to=4,
+        parity=True,
+    )
+
+
 def _emb_pairs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled scored pairs: cosine(embedding) over vec_id<50 pairs, label =
     same class; cosine rounded to 6dp BEFORE any ranking so Spark and the
@@ -883,6 +906,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "klsh_lloyd": q_klsh_lloyd,
         "encoder_forward": q_encoder_forward,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "soundex_keys": q_soundex_keys,
         "pair_auroc": q_pair_auroc,
         "pair_threshold_metrics": q_pair_threshold_metrics,
@@ -1305,6 +1329,87 @@ def _ann_lsh_sql(
         )
         -- rank on the 6dp-rounded value (round-before-rank), output the
         -- 4dp-rounded RAW (double-rounding midpoint hazard)
+        SELECT query_id, neighbor_id, round(raw, 4) AS cosine FROM (
+            SELECT query_id, neighbor_id, raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(raw, 6) DESC, neighbor_id ASC) AS rn
+            FROM sims
+        ) WHERE rn <= {k}
+    """
+
+
+def _ann_pq_sql(
+    k: int = 5, m: int = 4, ksub: int = 16, dim: int = 64, rerank: int = 20
+) -> str:
+    """SQL replica of ``q_ann_pq_topk`` (``ann.pq_topk`` in parity mode).
+
+    The fixed codebooks (``ann.pq_fixed_codebooks``, 6dp doubles) are
+    inlined as a VALUES table; encoding is argmin over 6dp-rounded expanded
+    L2² per subspace (argmin via min over fixed-width printf-encoded
+    (d2, c) strings — lexicographic == numeric for the fixed width, and the
+    string tie-break picks the lowest code exactly like ``np.argmin``);
+    ADC distance is the 6dp-rounded sum of 6dp LUT entries; the rerank cut
+    orders (adist, neighbor_id); the exact-cosine rerank is the same
+    round-before-rank/4dp-raw-output recipe as the other ANN oracles."""
+    from .operators.ann import pq_fixed_codebooks
+
+    dsub = dim // m
+    books = pq_fixed_codebooks(m=m, ksub=ksub, dsub=dsub)
+    rows = ",\n            ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(ksub)
+    )
+    return f"""
+        WITH book(j, c, cv) AS (VALUES
+            {rows}
+        ),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        subv AS (
+            SELECT vec_id, j, list_slice(v, j*{dsub}+1, (j+1)*{dsub}) AS sv
+            FROM corpus, (SELECT unnest(range({m})) AS j)
+        ),
+        codes AS (
+            SELECT vec_id, s.j,
+                   right(min(printf('%013.6f|%02d',
+                                    round(list_dot_product(sv, sv)
+                                          - 2*list_dot_product(sv, b.cv)
+                                          + list_dot_product(b.cv, b.cv), 6),
+                                    b.c)), 2)::INT AS code
+            FROM subv s JOIN book b ON b.j = s.j
+            GROUP BY 1, 2
+        ),
+        luts AS (
+            SELECT q.vec_id AS query_id, b.j, b.c,
+                   round(-2*list_dot_product(
+                             list_slice(q.v, b.j*{dsub}+1, (b.j+1)*{dsub}), b.cv)
+                         + list_dot_product(b.cv, b.cv), 6) AS lut
+            FROM (SELECT * FROM corpus WHERE vec_id < 10) q JOIN book b ON true
+        ),
+        adist AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   round(sum(l.lut), 6) AS adist
+            FROM codes c JOIN luts l ON l.j = c.j AND l.c = c.code
+            WHERE l.query_id <> c.vec_id
+            GROUP BY 1, 2
+        ),
+        cands AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adist ASC, neighbor_id ASC) AS arn
+                FROM adist
+            ) WHERE arn <= {rerank}
+        ),
+        sims AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS raw
+            FROM cands
+            JOIN embeddings a ON a.vec_id = query_id
+            JOIN embeddings b ON b.vec_id = neighbor_id
+        )
         SELECT query_id, neighbor_id, round(raw, 4) AS cosine FROM (
             SELECT query_id, neighbor_id, raw,
                    row_number() OVER (PARTITION BY query_id
@@ -1775,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_pq_topk": _ann_pq_sql(),
         "soundex_keys": _soundex_sql(),
         "metaphone_keys": _metaphone_sql(),
         "winnow_fingerprints": _winnow_sql(k=5, window=4),

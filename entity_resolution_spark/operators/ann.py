@@ -373,6 +373,19 @@ def pq_train(
     return books
 
 
+def pq_fixed_codebooks(
+    m: int, ksub: int, dsub: int, scale: float = 0.25, seed: int = 7
+) -> np.ndarray:
+    """Data-independent PQ codebooks: seeded-uniform in ``[-scale, scale]``,
+    rounded to 6dp.  Used by the oracle-checked ``ann_pq_topk`` driver query
+    — the same constants are inlined as SQL literals on the DuckDB side, so
+    both engines quantize against bit-identical doubles at any SF.  (Trained
+    codebooks — ``pq_train`` — give better codes but depend on the corpus,
+    which a static SQL oracle cannot.)"""
+    rs = np.random.RandomState(seed)
+    return np.round(rs.uniform(-scale, scale, (m, ksub, dsub)), 6)
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -384,10 +397,20 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    parity: bool = False,
 ) -> DataFrame:
     """PQ-ADC ANN: encode the corpus to ``m``-byte codes, scan codes with
     per-query ADC lookup tables, keep the best ``rerank`` candidates per
     query, then exact-cosine rerank (round-before-rank at 6dp).
+
+    ``parity=True`` is the cross-engine-checkable arithmetic mode used by
+    the ``ann_pq_topk`` driver query: vectors enter raw (float32→float64
+    cast is exact; no L2 normalization, so approx ordering is by L2
+    distance — the exact-cosine rerank is unchanged), and every quantity
+    that feeds an argmin or a rank cut (subspace distances, ADC lookup
+    entries, summed approx distances) is rounded to 6dp first, so a SQL
+    oracle summing the same rounded literals in a different accumulation
+    order lands on the same ranking.
 
     Scale shape (the IVF-PQ recipe without the coarse stage):
 
@@ -418,7 +441,8 @@ def pq_topk(
     def encode(v: pd.Series) -> pd.Series:
         B = bc_books.value
         Xb = np.stack(v.to_numpy()).astype(np.float64)
-        Xb = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
+        if not parity:
+            Xb = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
         mm, kk, dd = B.shape
         codes = np.empty((len(Xb), mm), dtype=np.int32)
         for j in range(mm):
@@ -428,6 +452,8 @@ def pq_topk(
                 - 2.0 * sub @ B[j].T
                 + (B[j] ** 2).sum(axis=1)[None, :]
             )
+            if parity:
+                d2 = np.round(d2, 6)  # round-before-argmin; ties → lowest c
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series([c.tolist() for c in codes])
 
@@ -444,7 +470,8 @@ def pq_topk(
         )
     q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    if not parity:
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     # ADC LUT: luts[q, j, c] = ||Q[q] subvec j - codebook[j][c]||^2 term;
     # constant ||q||^2 per query drops out of the per-query ranking
     luts = np.empty((len(Q), m_, ksub_), dtype=np.float64)
@@ -453,6 +480,8 @@ def pq_topk(
         luts[:, j, :] = (
             -2.0 * qs @ books[j].T + (books[j] ** 2).sum(axis=1)[None, :]
         )
+    if parity:
+        luts = np.round(luts, 6)  # the oracle sums the same 6dp entries
     bc_luts = spark.sparkContext.broadcast((q_ids, luts))
 
     out_schema = "query_id long, neighbor_id long, adist double"
@@ -467,6 +496,8 @@ def pq_topk(
             D = np.zeros((nq, len(ids)), dtype=np.float64)
             for j in range(mm):
                 D += L[:, j, :][:, C[:, j]]
+            if parity:
+                D = np.round(D, 6)  # round-before-rank for the cut below
             take = min(rerank, len(ids))
             rows = {"query_id": [], "neighbor_id": [], "adist": []}
             for qi in range(nq):

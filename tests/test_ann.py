@@ -93,6 +93,23 @@ def test_pq_partial_rerank_recall(spark):
     assert hits / total >= 0.9, hits / total
 
 
+def test_pq_parity_mode_full_rerank_equals_bruteforce(spark):
+    # parity mode (raw vectors + 6dp round-before-argmin/rank, fixed
+    # codebooks) still equals brute force once rerank covers the corpus —
+    # the approx stage only selects candidates, the exact rerank decides.
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 8)
+    exact = _topk_map(ann.cosine_topk(q, emb, k=5, round_to=6))
+    books = ann.pq_fixed_codebooks(m=4, ksub=16, dsub=4, scale=5.0)
+    pq = _topk_map(
+        ann.pq_topk(
+            q, emb, k=5, m=4, ksub=16, rerank=200,
+            codebooks=books, round_to=6, parity=True,
+        )
+    )
+    assert pq == exact
+
+
 def test_pq_partition_invariant(spark):
     emb = _clustered_embeddings(spark)
     q = emb.where(F.col("vec_id") < 5)
