@@ -62,6 +62,10 @@ HEADLINE = [
     "purchase_attribution",
     "error_nearby_views",
     "doc_filter",
+    "ann_pq_topk",
+    "contamination_check",
+    "pii_scan",
+    "distinct_token_kmv",
 ]
 
 

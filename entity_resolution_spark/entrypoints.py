@@ -527,6 +527,72 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # PQ-ADC ANN 
     )
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: docs with
+    ``doc_id % 31 == 0`` play the held-out eval suite, the rest the
+    training corpus; any shared overlapping 4-token gram flags the
+    training doc.  (Real pipelines use 8-13 grams — GPT-3 appx C uses 13 —
+    but the fixture docs are 10-99 tokens, so n=4 keeps the hit set
+    non-trivial at small SF; the operator takes ``n`` as a parameter.)"""
+    from .operators.webtext import benchmark_contamination
+
+    d = _doc(spark, sf_dir)
+    return benchmark_contamination(
+        d.where(F.pmod("doc_id", F.lit(31)) != 0),
+        d.where(F.pmod("doc_id", F.lit(31)) == 0),
+        n=4,
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction fingerprint.  The synthetic corpus carries
+    no organic PII, so deterministic markers (an email, an IPv4, a phone)
+    are planted on doc_id-keyed subsets — identically in the SQL oracle —
+    so the detectors and the redaction path are actually exercised."""
+    from .operators.webtext import pii_scan
+
+    d = _doc(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod(did, F.lit(7)) == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(did, F.lit(11)) == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    F.pmod(did, F.lit(256)).cast("string"),
+                    F.lit("."),
+                    F.pmod(did, F.lit(100)).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.pmod(did, F.lit(13)) == 0, F.lit(" call 555-867-5309"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return pii_scan(aug)
+
+
+def q_distinct_token_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token estimate over the corpus vocabulary (k=128),
+    engine-reproducible by construction (md5-normalized hashes)."""
+    from .functions.text import tokens as _tok
+    from .operators.sketches import kmv_distinct_estimate
+
+    tok = _doc(spark, sf_dir).select(
+        F.explode(_tok(F.col("text"))).alias("tok")
+    )
+    return kmv_distinct_estimate(tok, "tok", k=128)
+
+
 def _emb_pairs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled scored pairs: cosine(embedding) over vec_id<50 pairs, label =
     same class; cosine rounded to 6dp BEFORE any ranking so Spark and the
@@ -907,6 +973,9 @@ def _raw_queries() -> dict[str, QueryFn]:
         "encoder_forward": q_encoder_forward,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "contamination_check": q_contamination_check,
+        "pii_scan": q_pii_scan,
+        "distinct_token_kmv": q_distinct_token_kmv,
         "soundex_keys": q_soundex_keys,
         "pair_auroc": q_pair_auroc,
         "pair_threshold_metrics": q_pair_threshold_metrics,
@@ -1419,6 +1488,39 @@ def _ann_pq_sql(
     """
 
 
+def _pii_sql() -> str:
+    """SQL replica of ``q_pii_scan``: the marker-planting CASE chain mirrors
+    the Spark ``when`` chain, and the regex literals are the very constants
+    ``operators.webtext`` uses (patterns chosen to parse identically under
+    Java regex and RE2 — see ``PII_EMAIL`` et al.)."""
+    from .operators.webtext import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+        WITH aug AS (
+            SELECT doc_id, text
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                      ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                      THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                           || (doc_id % 100)::VARCHAR
+                      ELSE '' END
+              || CASE WHEN doc_id % 13 = 0
+                      THEN ' call 555-867-5309' ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text, '{PII_IPV4}'))::BIGINT AS n_ipv4,
+               len(regexp_extract_all(text, '{PII_PHONE}'))::BIGINT AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM aug
+    """
+
+
 # Recursive-CTE transitive closure → (record_id, component_id), the same
 # fragment the connected_components oracle inlines (kept verbatim there).
 _CC_ASSIGN_SQL = f"""
@@ -1881,6 +1983,53 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        "contamination_check": r"""
+            WITH lst AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 2, 1))) AS i
+                FROM lst
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(toks[i:i+3], ' ')) AS gram
+                FROM idx
+            ),
+            tg AS (SELECT * FROM grams WHERE doc_id % 31 <> 0),
+            bg AS (SELECT doc_id AS bench_doc_id, gram
+                   FROM grams WHERE doc_id % 31 = 0)
+            SELECT tg.doc_id,
+                   count(DISTINCT tg.gram) AS n_contaminated_grams,
+                   count(DISTINCT bench_doc_id) AS n_bench_docs
+            FROM tg JOIN bg USING (gram)
+            GROUP BY 1
+        """,
+        "pii_scan": _pii_sql(),
+        "distinct_token_kmv": r"""
+            WITH lst AS (
+                SELECT list_filter(string_split_regex(text, '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            tok AS (SELECT unnest(toks) AS tok FROM lst),
+            h AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                           / 1152921504606846976.0 AS h
+                FROM tok
+            ),
+            kept AS (SELECT h FROM h ORDER BY h LIMIT 128)
+            SELECT 128::BIGINT AS k, count(*)::BIGINT AS n_kept,
+                   round(max(h), 6) AS kth_hash,
+                   round(CASE WHEN count(*) >= 128 THEN 127 / max(h)
+                              ELSE count(*)::DOUBLE END, 6) AS est_distinct
+            FROM kept
+        """,
         "soundex_keys": _soundex_sql(),
         "metaphone_keys": _metaphone_sql(),
         "winnow_fingerprints": _winnow_sql(k=5, window=4),

@@ -82,6 +82,92 @@ def repetition_signals(
     )
 
 
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C / Gopher §A1.2 style): flag
+    training documents that share any overlapping ``n``-token gram with a
+    benchmark/eval document.
+
+    Returns one row per contaminated training doc:
+    ``(doc_id, n_contaminated_grams, n_bench_docs)`` — how many distinct
+    grams hit and how many distinct benchmark docs they came from.
+
+    Scale shape: grams are built JVM-side (``transform`` over a ``sequence``
+    of start offsets + ``slice``) and reduced to md5 hashes *inside the
+    projection* — gram text never leaves the scan.  The benchmark side
+    (eval suites are tiny next to a 100-TB training corpus) is
+    distinct-reduced and broadcast, so the probe is a broadcast hash join
+    on the gram hash followed by one per-doc aggregate: zero shuffles of
+    the training grams beyond the final doc-keyed combine.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        sz = F.size(toks)
+        g = F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - F.lit(n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(id_col, F.explode(F.array_distinct(g)).alias("gram"))
+
+    bench_grams = grams(bench).select(
+        F.col("gram"), F.col(id_col).alias("bench_doc_id")
+    ).distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated_grams"),
+            F.countDistinct("bench_doc_id").alias("n_bench_docs"),
+        )
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, \b supported by both.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII detection + redaction (C4/CCNet-style scrub stage):
+    counts of email / IPv4 / phone matches and the md5 of the text with all
+    three classes replaced by class tags.
+
+    Pure JVM column expressions (``regexp_count`` / chained
+    ``regexp_replace``) — one narrow projection, no shuffle, no Python.
+    The redacted text itself is reduced to a fingerprint so only ~50 bytes
+    per row leave the scan; a real scrub pipeline would write the redacted
+    column to the sink instead.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 def cross_doc_chunk_dups(
     docs: DataFrame,
     chunk_tokens: int = 8,

@@ -78,3 +78,84 @@ def test_chunk_dups_trailing_partial_chunk_counts(spark):
     rows = cross_doc_chunk_dups(df, chunk_tokens=8).collect()
     assert len(rows) == 1
     assert rows[0]["n_docs"] == 2  # the shared 2-token tail chunk
+
+
+def test_benchmark_contamination_known_values(spark):
+    from entity_resolution_spark.operators.webtext import benchmark_contamination
+
+    bench = _docs(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "completely different benchmark text entirely here"),
+        ],
+    )
+    train = _docs(
+        spark,
+        [
+            # contains "quick brown fox jumps" (one shared 4-gram with 100)
+            (1, "prefix quick brown fox jumps suffix"),
+            # contains two overlapping shared 4-grams with 100
+            (2, "the quick brown fox jumps"),
+            # clean
+            (3, "no overlap with anything at all in this sentence"),
+            # shorter than n -> no grams at all
+            (4, "too short"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in benchmark_contamination(train, bench, n=4).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_contaminated_grams"] == 1 and out[1]["n_bench_docs"] == 1
+    assert out[2]["n_contaminated_grams"] == 2 and out[2]["n_bench_docs"] == 1
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    import hashlib
+
+    from entity_resolution_spark.operators.webtext import pii_scan
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail a.b%c@ex-1.org and d@e.io from 10.0.0.1 call 555-123-4567"),
+            (2, "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scan(df).collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["n_phones"] == 1
+    redacted = "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>"
+    assert out[1]["redacted_md5"] == hashlib.md5(redacted.encode()).hexdigest()
+    assert out[2]["n_emails"] == out[2]["n_ipv4"] == out[2]["n_phones"] == 0
+    assert (
+        out[2]["redacted_md5"]
+        == hashlib.md5(b"nothing sensitive here").hexdigest()
+    )
+
+
+def test_kmv_small_cardinality_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.sketches import kmv_distinct_estimate
+
+    df = spark.range(50).select((F.col("id") % 20).cast("string").alias("v"))
+    row = kmv_distinct_estimate(df, "v", k=128).collect()[0]
+    assert row["n_kept"] == 20
+    assert row["est_distinct"] == 20.0
+
+
+def test_kmv_estimate_accuracy_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.sketches import kmv_distinct_estimate
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("v"))
+    a = kmv_distinct_estimate(df, "v", k=256).collect()[0]
+    b = kmv_distinct_estimate(df.repartition(17), "v", k=256).collect()[0]
+    assert a.asDict() == b.asDict()  # partition-invariant by construction
+    # KMV std error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(a["est_distinct"] - 20_000) / 20_000 < 0.25, a["est_distinct"]
