@@ -593,6 +593,48 @@ def q_distinct_token_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(tok, "tok", k=128)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
+    URLs and group.  The fixture corpus has no url column, so each doc's
+    URL is synthesized deterministically from doc_id — with case noise,
+    www/port/trailing-slash/dup-slash variants, tracking params, unsorted
+    params, and fragments — identically in the SQL oracle; docs whose ids
+    agree mod 320 canonicalize to the same resource."""
+    from .functions.urls import canonical_url
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(F.pmod(did, F.lit(2)) == 0, F.lit("HTTPS")).otherwise(
+            F.lit("http")
+        ),
+        F.lit("://"),
+        F.when(F.pmod(did, F.lit(3)) == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        F.pmod(did, F.lit(40)).cast("string"),
+        F.lit(".Example.com"),
+        F.when(
+            (F.pmod(did, F.lit(2)) == 0) & (F.pmod(did, F.lit(5)) == 0),
+            F.lit(":443"),
+        ).otherwise(F.lit("")),
+        F.lit("/p//"),
+        F.pmod(did, F.lit(160)).cast("string"),
+        F.when(F.pmod(did, F.lit(4)) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(6)) == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.pmod(did, F.lit(6)) == 3, F.lit("?b=2&a=1&gclid=xyz"))
+        .otherwise(F.lit("?a=1&b=2")),
+        F.when(F.pmod(did, F.lit(9)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    d = _doc(spark, sf_dir).select("doc_id", url.alias("url"))
+    return (
+        d.groupBy(canonical_url(F.col("url")).alias("canonical_url"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def _emb_pairs_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled scored pairs: cosine(embedding) over vec_id<50 pairs, label =
     same class; cosine rounded to 6dp BEFORE any ranking so Spark and the
@@ -976,6 +1018,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "contamination_check": q_contamination_check,
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
+        "url_dedup": q_url_dedup,
         "soundex_keys": q_soundex_keys,
         "pair_auroc": q_pair_auroc,
         "pair_threshold_metrics": q_pair_threshold_metrics,
@@ -999,6 +1042,63 @@ def _raw_queries() -> dict[str, QueryFn]:
         "error_nearby_views": q_error_nearby_views,
         "doc_filter": q_doc_filter,
     }
+
+
+_URL_DEDUP_SQL = r"""
+            WITH u AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                || '://'
+                || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+                || 'Site' || (doc_id % 40)::VARCHAR || '.Example.com'
+                || (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0
+                         THEN ':443' ELSE '' END)
+                || '/p//' || (doc_id % 160)::VARCHAR
+                || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&b=2&a=1'
+                         WHEN doc_id % 6 = 3 THEN '?b=2&a=1&gclid=xyz'
+                         ELSE '?a=1&b=2' END)
+                || (CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END) AS url
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                regexp_extract(url, '\?([^#]*)', 1) AS rawquery
+              FROM u
+            ),
+            withp AS (
+              SELECT doc_id, scheme, hostport, rawpath,
+                array_to_string(list_sort(list_filter(
+                    string_split(rawquery, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))),
+                    '&') AS params
+              FROM parts
+            ),
+            canon AS (
+              SELECT doc_id, scheme || '://'
+                || (CASE WHEN (scheme = 'http' AND hostport LIKE '%:443')
+                           OR (scheme = 'https' AND hostport LIKE '%:80')
+                         THEN regexp_replace(hostport, '^www\.', '')
+                         ELSE regexp_replace(
+                                regexp_replace(hostport, '^www\.', ''),
+                                ':(80|443)$', '') END)
+                || regexp_replace(
+                     regexp_replace(rawpath, '/{2,}', '/', 'g'), '/+$', '')
+                || (CASE WHEN params <> '' THEN '?' || params ELSE '' END)
+                   AS canonical_url
+              FROM withp
+            )
+            SELECT canonical_url, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM canon GROUP BY 1 HAVING count(*) >= 2
+        """
 
 
 # ---------------------------------------------------------------------------
@@ -2030,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE count(*)::DOUBLE END, 6) AS est_distinct
             FROM kept
         """,
+        "url_dedup": _URL_DEDUP_SQL,
         "soundex_keys": _soundex_sql(),
         "metaphone_keys": _metaphone_sql(),
         "winnow_fingerprints": _winnow_sql(k=5, window=4),

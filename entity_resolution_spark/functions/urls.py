@@ -1,0 +1,71 @@
+"""URL canonicalization for web-corpus (Common-Crawl-style) pipelines.
+
+URL-level dedup is the cheapest stage of a web-text pipeline (CCNet §3.1
+dedups by URL before content hashing): normalize each page's URL so that
+trivially-different spellings of the same resource collapse, then a plain
+hash aggregate on the canonical form groups re-crawls and mirrors.
+
+Everything here is a JVM column expression (regexp extract/replace + array
+ops) — no UDF, no shuffle; the canonicalization itself adds zero stages to
+whatever plan consumes it.  The regexes avoid constructs that differ
+between Java regex and RE2 so the DuckDB oracle can run the identical
+logic.
+
+Canonical form:
+  * scheme and host lowercased; leading ``www.`` dropped
+  * default ports stripped (``:80`` for http, ``:443`` for https)
+  * path: duplicate slashes collapsed, trailing slashes dropped
+  * query: params split on ``&``; tracking params (``utm_*``, ``fbclid``,
+    ``gclid``, ``ref``) and empties dropped; the rest sorted (binary
+    ordering in both engines) and rejoined
+  * fragment dropped
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Java-regex- and RE2-compatible pieces.
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY = r"\?([^#]*)"
+TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""),
+        # strip only the scheme's default port
+        r":(80|443)$",
+        "",
+    )
+    # un-strip a non-default port: http://h:443 and https://h:80 keep theirs
+    host = F.when(
+        ((scheme == "http") & hostport.endswith(":443"))
+        | ((scheme == "https") & hostport.endswith(":80")),
+        F.regexp_replace(hostport, r"^www\.", ""),
+    ).otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(url, _PATH, 1), "/{2,}", "/"),
+        "/+$",
+        "",
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, _QUERY, 1), "&"),
+                lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )

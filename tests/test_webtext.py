@@ -159,3 +159,32 @@ def test_kmv_estimate_accuracy_and_partition_invariance(spark):
     assert a.asDict() == b.asDict()  # partition-invariant by construction
     # KMV std error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
     assert abs(a["est_distinct"] - 20_000) / 20_000 < 0.25, a["est_distinct"]
+
+
+def test_canonical_url_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.functions.urls import canonical_url
+
+    cases = [
+        # scheme/host case, www, default port, dup+trailing slash, tracking
+        # params, param order, fragment — all collapse to one form
+        ("HTTPS://WWW.Example.COM:443//a//b/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?a=1&b=2",
+         "https://example.com/a/b?a=1&b=2"),
+        # http default port stripped; empty + tracking-only query dropped
+        ("http://Example.com:80/x/?gclid=1&ref=z&",
+         "http://example.com/x"),
+        # NON-default port for the scheme is kept
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        # root path collapses to empty, no query
+        ("http://a.io/", "http://a.io"),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases], "url string"
+    ).withColumn("canon", canonical_url(F.col("url")))
+    got = [r["canon"] for r in df.collect()]
+    assert got == [want for _, want in cases]
