@@ -593,6 +593,16 @@ def q_distinct_token_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(tok, "tok", k=128)
 
 
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filter signal: per-doc cross-entropy under a
+    Laplace-smoothed bigram LM trained on the corpus itself.  Per-bigram
+    ln(p) rounded to 6dp before the (order-sensitive) per-doc sum; output
+    ce at 4dp of the raw mean (see operators/lm.py)."""
+    from .operators.lm import bigram_cross_entropy
+
+    return bigram_cross_entropy(_doc(spark, sf_dir))
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
     URLs and group.  The fixture corpus has no url column, so each doc's
@@ -1019,6 +1029,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
         "url_dedup": q_url_dedup,
+        "lm_cross_entropy": q_lm_cross_entropy,
         "soundex_keys": q_soundex_keys,
         "pair_auroc": q_pair_auroc,
         "pair_threshold_metrics": q_pair_threshold_metrics,
@@ -2131,6 +2142,40 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
         """,
         "url_dedup": _URL_DEDUP_SQL,
+        "lm_cross_entropy": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            inst AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+              WHERE len(toks) >= 2
+            ),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM tok)
+            ),
+            doc_big AS (
+              SELECT doc_id, w1, w2, count(*) AS m FROM inst GROUP BY 1, 2, 3
+            ),
+            lp AS (
+              SELECT doc_id, m,
+                     round(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v)), 6)
+                       AS lp6
+              FROM doc_big
+              JOIN c12 USING (w1, w2)
+              JOIN c1 USING (w1)
+              CROSS JOIN v
+            )
+            SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+                   round(-sum(m * lp6) / sum(m)::DOUBLE, 4) AS ce
+            FROM lp GROUP BY 1
+        """,
         "soundex_keys": _soundex_sql(),
         "metaphone_keys": _metaphone_sql(),
         "winnow_fingerprints": _winnow_sql(k=5, window=4),
