@@ -603,6 +603,36 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_cross_entropy(_doc(spark, sf_dir))
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level boilerplate removal.  The fixture text is
+    single-line, so each doc is wrapped into a deterministic multi-line page
+    (source-specific cookie/nav/copyright lines + a rare newsletter line
+    that stays under the per-source threshold) identically in the SQL
+    oracle; the operator must strip exactly the per-source recurring lines
+    and reassemble the rest in order (verified via md5)."""
+    from .operators.webtext import strip_boilerplate
+
+    d = _doc(spark, sf_dir)
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Cookie notice for "), F.col("source")),
+        F.concat(F.lit("Home | About | "), F.col("source")),
+        F.col("text"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(50)) == 0,
+            F.lit("Subscribe to our newsletter"),
+        ),
+        F.concat(F.lit("(c) 2024 "), F.col("source")),
+    )
+    pages = d.select("doc_id", "source", page.alias("page"))
+    return strip_boilerplate(pages, min_docs=5).select(
+        "doc_id",
+        "n_lines",
+        "n_boiler",
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
     URLs and group.  The fixture corpus has no url column, so each doc's
@@ -1030,6 +1060,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "distinct_token_kmv": q_distinct_token_kmv,
         "url_dedup": q_url_dedup,
         "lm_cross_entropy": q_lm_cross_entropy,
+        "boilerplate_strip": q_boilerplate_strip,
         "soundex_keys": q_soundex_keys,
         "pair_auroc": q_pair_auroc,
         "pair_threshold_metrics": q_pair_threshold_metrics,
@@ -2142,6 +2173,43 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
         """,
         "url_dedup": _URL_DEDUP_SQL,
+        "boilerplate_strip": r"""
+            WITH pages AS (
+              SELECT doc_id, source,
+                concat_ws(chr(10),
+                  'Cookie notice for ' || source,
+                  'Home | About | ' || source,
+                  text,
+                  CASE WHEN doc_id % 50 = 0
+                       THEN 'Subscribe to our newsletter' END,
+                  '(c) 2024 ' || source) AS page
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, source AS grp, i - 1 AS pos, l[i] AS line,
+                     trim(l[i]) AS norm
+              FROM (SELECT doc_id, source,
+                           string_split(page, chr(10)) AS l FROM pages),
+                   LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) r
+            ),
+            boiler AS (
+              SELECT grp, norm FROM lines WHERE norm <> ''
+              GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 5
+            ),
+            flagged AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     (b.norm IS NOT NULL) AS is_boiler
+              FROM lines l
+              LEFT JOIN boiler b ON l.grp = b.grp AND l.norm = b.norm
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT
+                     AS n_boiler,
+                   md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                                FILTER (WHERE NOT is_boiler), ''))
+                     AS cleaned_md5
+            FROM flagged GROUP BY 1
+        """,
         "lm_cross_entropy": r"""
             WITH tok AS (
               SELECT doc_id,

@@ -209,3 +209,58 @@ def cross_doc_chunk_dups(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def strip_boilerplate(
+    pages: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb / CCNet line-dedup stage).
+
+    A line whose trimmed form occurs in >= ``min_docs`` distinct documents
+    of the same ``group_col`` (site/domain) is boilerplate — cookie banners,
+    nav bars, copyright footers — and is dropped; the page is reassembled
+    from the surviving lines in original order.
+
+    Returns one row per input page: ``doc_id, n_lines, n_boiler, cleaned``
+    (the reassembled text; hash it downstream if only identity is needed).
+
+    Scale shape: lines are a ``posexplode`` projection; the boilerplate set
+    is one hash aggregate keyed by (group, trimmed line) with map-side
+    partial distinct; membership is a shuffle equi-join on that same key
+    (the aggregate output is far smaller than the line table; a deployment
+    that knows its boiler set is small can broadcast it).  Reassembly sorts
+    (pos, line) structs *within* each doc group — no global or unpartitioned
+    window.  All string/integer ops: deterministic across engines.
+    """
+    lines = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    boiler = (
+        lines.where(F.col("norm") != "")
+        .groupBy("grp", "norm")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("grp", "norm", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(boiler, ["grp", "norm"], "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("long")).cast("long").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )

@@ -188,3 +188,40 @@ def test_canonical_url_known_values(spark):
     ).withColumn("canon", canonical_url(F.col("url")))
     got = [r["canon"] for r in df.collect()]
     assert got == [want for _, want in cases]
+
+
+def test_strip_boilerplate_known_values(spark):
+    from entity_resolution_spark.operators.webtext import strip_boilerplate
+
+    footer = "(c) example"
+    rows = []
+    for d in range(6):
+        body = f"unique body line {d}"
+        rows.append((d, "a", f"cookie banner\n{body}\n  cookie banner  \n{footer}"))
+    # same banner text on another source, but only 2 docs there: kept
+    rows.append((10, "b", f"cookie banner\nother body\n{footer}"))
+    rows.append((11, "b", f"cookie banner\nmore body\n{footer}"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, page string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate(df, min_docs=5).collect()
+    }
+    # source a: banner (trim-normalized, counted once per doc but appearing
+    # twice per page) and footer both hit 6 distinct docs -> stripped
+    for d in range(6):
+        assert out[d]["n_lines"] == 4
+        assert out[d]["n_boiler"] == 3  # both banner copies + footer
+        assert out[d]["cleaned"] == f"unique body line {d}"
+    # source b below threshold: nothing stripped, original order preserved
+    assert out[10]["n_boiler"] == 0
+    assert out[10]["cleaned"] == "cookie banner\nother body\n(c) example"
+
+
+def test_strip_boilerplate_all_boiler_doc_yields_empty(spark):
+    from entity_resolution_spark.operators.webtext import strip_boilerplate
+
+    rows = [(d, "s", "same\nsame") for d in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, page string")
+    out = strip_boilerplate(df, min_docs=5).collect()
+    assert all(r["cleaned"] == "" and r["n_boiler"] == 2 for r in out)
+    assert len(out) == 5
