@@ -14,7 +14,7 @@ import tempfile
 import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.blocking_keys import phonetic_combination
@@ -633,6 +633,35 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl compaction over the (url, warc_ts) identity of a crawl
+    corpus: keep the newest snapshot per canonical URL, smallest doc_id on
+    timestamp ties.  URL and warc_ts are synthesized deterministically from
+    doc_id (url as in q_url_dedup — canonical groups are doc_id mod 160;
+    warc_ts spaced so some groups DO tie, ids 480 apart share pmod 240)
+    identically in the SQL oracle, which expresses the same argmax as a max
+    over fixed-width printf-encoded (epoch, 9999999-id) strings."""
+    from .functions.urls import canonical_url
+    from .operators.relational import latest_snapshot_per_key
+
+    d = _doc(spark, sf_dir).select(
+        "doc_id",
+        _synth_url().alias("url"),
+        F.expr(
+            "timestampadd(HOUR, cast(pmod(doc_id, 240) * 7 as int),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("warc_ts"),
+    )
+    snaps = d.select(
+        canonical_url(F.col("url")).alias("canonical_url"),
+        "warc_ts",
+        "doc_id",
+    )
+    return latest_snapshot_per_key(
+        snaps, "canonical_url", "warc_ts", "doc_id"
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
     URLs and group.  The fixture corpus has no url column, so each doc's
@@ -642,8 +671,22 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree mod 320 canonicalize to the same resource."""
     from .functions.urls import canonical_url
 
+    d = _doc(spark, sf_dir).select("doc_id", _synth_url().alias("url"))
+    return (
+        d.groupBy(canonical_url(F.col("url")).alias("canonical_url"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _synth_url() -> Column:
+    """Deterministic messy-URL synthesis from doc_id (shared by
+    q_url_dedup / q_crawl_snapshot and their SQL oracles)."""
     did = F.col("doc_id")
-    url = F.concat(
+    return F.concat(
         F.when(F.pmod(did, F.lit(2)) == 0, F.lit("HTTPS")).otherwise(
             F.lit("http")
         ),
@@ -663,15 +706,6 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.pmod(did, F.lit(6)) == 3, F.lit("?b=2&a=1&gclid=xyz"))
         .otherwise(F.lit("?a=1&b=2")),
         F.when(F.pmod(did, F.lit(9)) == 0, F.lit("#frag")).otherwise(F.lit("")),
-    )
-    d = _doc(spark, sf_dir).select("doc_id", url.alias("url"))
-    return (
-        d.groupBy(canonical_url(F.col("url")).alias("canonical_url"))
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
-        .where(F.col("n_docs") >= 2)
     )
 
 
@@ -1059,6 +1093,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
         "url_dedup": q_url_dedup,
+        "crawl_snapshot": q_crawl_snapshot,
         "lm_cross_entropy": q_lm_cross_entropy,
         "boilerplate_strip": q_boilerplate_strip,
         "soundex_keys": q_soundex_keys,
@@ -1086,7 +1121,10 @@ def _raw_queries() -> dict[str, QueryFn]:
     }
 
 
-_URL_DEDUP_SQL = r"""
+# Shared CTE chain: synthesize the messy URL from doc_id (mirror of
+# _synth_url) and canonicalize it (mirror of functions/urls.canonical_url).
+# Yields `canon` with (doc_id, canonical_url).
+_URL_CANON_CTES = r"""
             WITH u AS (
               SELECT doc_id,
                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
@@ -1137,9 +1175,29 @@ _URL_DEDUP_SQL = r"""
                    AS canonical_url
               FROM withp
             )
+"""
+
+_URL_DEDUP_SQL = _URL_CANON_CTES + r"""
             SELECT canonical_url, count(*)::BIGINT AS n_docs,
                    min(doc_id) AS keep_doc_id
             FROM canon GROUP BY 1 HAVING count(*) >= 2
+        """
+
+_CRAWL_SNAPSHOT_SQL = _URL_CANON_CTES + r"""
+            , snaps AS (
+              SELECT canonical_url, doc_id,
+                TIMESTAMP '2024-01-01 00:00:00'
+                  + to_hours((doc_id % 240) * 7) AS warc_ts
+              FROM canon
+            )
+            SELECT canonical_url, count(*)::BIGINT AS n_versions,
+                   make_timestamp(substr(max(printf('%015d%07d',
+                       epoch(warc_ts)::BIGINT, 9999999 - doc_id)),
+                       1, 15)::BIGINT * 1000000) AS latest_ts,
+                   9999999 - substr(max(printf('%015d%07d',
+                       epoch(warc_ts)::BIGINT, 9999999 - doc_id)),
+                       16, 7)::BIGINT AS keep_doc_id
+            FROM snaps GROUP BY 1
         """
 
 
@@ -2173,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
         """,
         "url_dedup": _URL_DEDUP_SQL,
+        "crawl_snapshot": _CRAWL_SNAPSHOT_SQL,
         "boilerplate_strip": r"""
             WITH pages AS (
               SELECT doc_id, source,

@@ -115,3 +115,35 @@ def bucketed_range_join(
         F.col(f"{right_alias}_{ts_col}").cast("timestamp")
     ) - F.unix_micros(F.col(ts_col).cast("timestamp"))
     return joined.filter(F.abs(dt) <= radius_micros).drop("_bucket", "_rkey")
+
+
+def latest_snapshot_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Latest-version-per-key compaction (re-crawl snapshot selection).
+
+    A crawl corpus holds many snapshots of the same page; downstream stages
+    want exactly one — the newest, with the smallest ``id_col`` breaking
+    timestamp ties deterministically.  One hash aggregate keyed by
+    ``key_col``: the argmax travels inside a ``max(struct(ts, -id))`` so
+    there is no window, no sort, and no second pass — map-side combinable,
+    the same single-shuffle shape at any scale.
+
+    Returns ``<key_col>, n_versions, latest_ts, keep_<id_col>``.
+    """
+    win = F.max(
+        F.struct(F.col(ts_col).alias("ts"), (-F.col(id_col)).alias("nid"))
+    ).alias("w")
+    return (
+        df.groupBy(key_col)
+        .agg(F.count("*").cast("long").alias("n_versions"), win)
+        .select(
+            key_col,
+            "n_versions",
+            F.col("w.ts").alias("latest_ts"),
+            (-F.col("w.nid")).alias(f"keep_{id_col}"),
+        )
+    )

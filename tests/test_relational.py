@@ -182,3 +182,37 @@ def test_bucketed_range_join_inclusive_boundary(spark):
         left, right, key="user_id", ts_col="ts", radius_micros=300_000_000
     ).collect()
     assert [r["r_rid"] for r in rows] == [10]
+
+
+def test_latest_snapshot_per_key_argmax_and_ties(spark):
+    import datetime as dt
+
+    from entity_resolution_spark.operators.relational import (
+        latest_snapshot_per_key,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # key a: strictly newer wins regardless of id
+        ("a", t, 1), ("a", t + 2 * h, 9), ("a", t + h, 2),
+        # key b: timestamp tie -> smallest id wins
+        ("b", t + h, 7), ("b", t + h, 3), ("b", t, 5),
+        # key c: singleton
+        ("c", t, 4),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, doc_id long")
+    out = {
+        r["url"]: r.asDict()
+        for r in latest_snapshot_per_key(df, "url", "ts", "doc_id").collect()
+    }
+    assert out["a"]["keep_doc_id"] == 9 and out["a"]["latest_ts"] == t + 2 * h
+    assert out["b"]["keep_doc_id"] == 3 and out["b"]["latest_ts"] == t + h
+    assert out["c"]["n_versions"] == 1 and out["c"]["keep_doc_id"] == 4
+    out2 = {
+        r["url"]: r.asDict()
+        for r in latest_snapshot_per_key(
+            df.repartition(7), "url", "ts", "doc_id"
+        ).collect()
+    }
+    assert out == out2
