@@ -66,6 +66,10 @@ HEADLINE = [
     "contamination_check",
     "pii_scan",
     "distinct_token_kmv",
+    "url_dedup",
+    "crawl_snapshot",
+    "lm_cross_entropy",
+    "boilerplate_strip",
 ]
 
 

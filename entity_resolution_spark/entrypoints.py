@@ -633,6 +633,28 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-source keep rates (by
+    source index mod 4: 0.9 / 0.5 / 0.25 / 0.0), decided by an integer
+    compare of a 60-bit md5 hash against driver-computed literal
+    thresholds — reproducible at any partitioning and engine.  The source
+    list is a bounded driver-side distinct (source cardinality is tiny by
+    construction; a deployment would pass its curated rate table)."""
+    import re as _re
+
+    from .operators.sampling import hash_stratified_sample
+
+    d = _doc(spark, sf_dir).select("doc_id", "source")
+    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    rate_cycle = [0.9, 0.5, 0.25, 0.0]
+    rates = {
+        s: rate_cycle[int(_re.search(r"(\d+)", s).group(1)) % 4] for s in srcs
+    }
+    return hash_stratified_sample(
+        d, rates, strata_col="source", id_col="doc_id", salt="mix-v1"
+    )
+
+
 def q_crawl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl compaction over the (url, warc_ts) identity of a crawl
     corpus: keep the newest snapshot per canonical URL, smallest doc_id on
@@ -1093,6 +1115,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
         "url_dedup": q_url_dedup,
+        "training_mix": q_training_mix,
         "crawl_snapshot": q_crawl_snapshot,
         "lm_cross_entropy": q_lm_cross_entropy,
         "boilerplate_strip": q_boilerplate_strip,
@@ -2231,6 +2254,16 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
         """,
         "url_dedup": _URL_DEDUP_SQL,
+        "training_mix": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('mix-v1:' || doc_id::VARCHAR), 1, 15))
+                    ::BIGINT
+                  < CASE (regexp_extract(source, '(\\d+)', 1)::INT % 4)
+                      WHEN 0 THEN {int(0.9 * (1 << 60))}
+                      WHEN 1 THEN {int(0.5 * (1 << 60))}
+                      WHEN 2 THEN {int(0.25 * (1 << 60))}
+                      ELSE 0 END
+        """,
         "crawl_snapshot": _CRAWL_SNAPSHOT_SQL,
         "boilerplate_strip": r"""
             WITH pages AS (
