@@ -684,6 +684,46 @@ def q_crawl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl delta report.  Two overlapping crawl windows are
+    carved deterministically out of the synthesized (url, warc_ts) corpus:
+    old = waves 0-1 (doc_id<320) thinned by doc_id%5!=0 (groups d≡0 mod 5
+    vanish → 'added'), new = waves 1-2 (160<=doc_id<480) thinned by
+    doc_id%4!=0 (groups d≡0 mod 4 vanish → 'removed'; 160≡0 mod 4/5 keeps
+    the thinning group-aligned).  Shared groups with d>=80 argmax onto
+    different waves per side (wave 0 vs wave 2) → 'changed'.  Each side is
+    compacted to its latest snapshot, fingerprinted by md5(text) of the
+    kept doc, and full-outer diffed; all four statuses are exercised."""
+    from .functions.urls import canonical_url
+    from .operators.relational import latest_snapshot_per_key, snapshot_diff
+
+    d = _doc(spark, sf_dir)
+    snaps = d.select(
+        "doc_id",
+        canonical_url(_synth_url()).alias("canonical_url"),
+        F.expr(
+            "timestampadd(HOUR, cast(pmod(doc_id, 240) * 7 as int),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("warc_ts"),
+    )
+    fps = d.select(
+        F.col("doc_id").alias("keep_doc_id"), F.md5("text").alias("fp")
+    )
+
+    def side(pred):
+        s = latest_snapshot_per_key(
+            snaps.where(pred), "canonical_url", "warc_ts", "doc_id"
+        )
+        return s.join(fps, "keep_doc_id").select("canonical_url", "fp")
+
+    did = F.col("doc_id")
+    old = side((did < 320) & (F.pmod(did, F.lit(5)) != 0))
+    new = side(
+        (did >= 160) & (did < 480) & (F.pmod(did, F.lit(4)) != 0)
+    )
+    return snapshot_diff(old, new, "canonical_url", "fp")
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
     URLs and group.  The fixture corpus has no url column, so each doc's
@@ -1117,6 +1157,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "url_dedup": q_url_dedup,
         "training_mix": q_training_mix,
         "crawl_snapshot": q_crawl_snapshot,
+        "crawl_diff": q_crawl_diff,
         "lm_cross_entropy": q_lm_cross_entropy,
         "boilerplate_strip": q_boilerplate_strip,
         "soundex_keys": q_soundex_keys,
@@ -1206,13 +1247,16 @@ _URL_DEDUP_SQL = _URL_CANON_CTES + r"""
             FROM canon GROUP BY 1 HAVING count(*) >= 2
         """
 
-_CRAWL_SNAPSHOT_SQL = _URL_CANON_CTES + r"""
+_SNAPS_CTES = _URL_CANON_CTES + r"""
             , snaps AS (
               SELECT canonical_url, doc_id,
                 TIMESTAMP '2024-01-01 00:00:00'
                   + to_hours((doc_id % 240) * 7) AS warc_ts
               FROM canon
             )
+"""
+
+_CRAWL_SNAPSHOT_SQL = _SNAPS_CTES + r"""
             SELECT canonical_url, count(*)::BIGINT AS n_versions,
                    make_timestamp(substr(max(printf('%015d%07d',
                        epoch(warc_ts)::BIGINT, 9999999 - doc_id)),
@@ -1221,6 +1265,42 @@ _CRAWL_SNAPSHOT_SQL = _URL_CANON_CTES + r"""
                        epoch(warc_ts)::BIGINT, 9999999 - doc_id)),
                        16, 7)::BIGINT AS keep_doc_id
             FROM snaps GROUP BY 1
+        """
+
+_CRAWL_DIFF_SQL = _SNAPS_CTES + r"""
+            , old_win AS (
+              SELECT canonical_url,
+                     9999999 - substr(max(printf('%015d%07d',
+                         epoch(warc_ts)::BIGINT, 9999999 - doc_id)),
+                         16, 7)::BIGINT AS keep_doc_id
+              FROM snaps WHERE doc_id < 320 AND doc_id % 5 <> 0 GROUP BY 1
+            ),
+            new_win AS (
+              SELECT canonical_url,
+                     9999999 - substr(max(printf('%015d%07d',
+                         epoch(warc_ts)::BIGINT, 9999999 - doc_id)),
+                         16, 7)::BIGINT AS keep_doc_id
+              FROM snaps
+              WHERE doc_id >= 160 AND doc_id < 480 AND doc_id % 4 <> 0
+              GROUP BY 1
+            ),
+            old_side AS (
+              SELECT w.canonical_url, md5(d.text) AS old_fp
+              FROM old_win w JOIN documents d ON d.doc_id = w.keep_doc_id
+            ),
+            new_side AS (
+              SELECT w.canonical_url, md5(d.text) AS new_fp
+              FROM new_win w JOIN documents d ON d.doc_id = w.keep_doc_id
+            )
+            SELECT coalesce(o.canonical_url, n.canonical_url)
+                     AS canonical_url,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp <> n.new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.old_fp, n.new_fp
+            FROM old_side o
+            FULL OUTER JOIN new_side n ON o.canonical_url = n.canonical_url
         """
 
 
@@ -2265,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 0 END
         """,
         "crawl_snapshot": _CRAWL_SNAPSHOT_SQL,
+        "crawl_diff": _CRAWL_DIFF_SQL,
         "boilerplate_strip": r"""
             WITH pages AS (
               SELECT doc_id, source,

@@ -147,3 +147,32 @@ def latest_snapshot_per_key(
             (-F.col("w.nid")).alias(f"keep_{id_col}"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Crawl-to-crawl delta: classify every key as added / removed /
+    changed / unchanged between two snapshot tables (one row per key each,
+    with a content fingerprint).
+
+    One full-outer shuffle equi-join on the key — keys are unique per side
+    by contract, so there is no skew amplification and the output is
+    exactly |old ∪ new| rows.  The fingerprint travels instead of the
+    content, so at 100 TB the join moves two hash columns, not pages.
+    """
+    o = old.select(F.col(key_col).alias("k"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("k"), F.col(fp_col).alias("new_fp"))
+    return o.join(n, "k", "full_outer").select(
+        F.col("k").alias(key_col),
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_fp",
+        "new_fp",
+    )

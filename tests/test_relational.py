@@ -216,3 +216,24 @@ def test_latest_snapshot_per_key_argmax_and_ties(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_snapshot_diff_statuses(spark):
+    from entity_resolution_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", "hX"), ("d", "h4")], "url string, fp string"
+    )
+    got = {
+        r["url"]: (r["status"], r["old_fp"], r["new_fp"])
+        for r in snapshot_diff(old, new, "url", "fp").collect()
+    }
+    assert got == {
+        "a": ("unchanged", "h1", "h1"),
+        "b": ("changed", "h2", "hX"),
+        "c": ("removed", "h3", None),
+        "d": ("added", None, "h4"),
+    }
