@@ -68,6 +68,8 @@ HEADLINE = [
     "distinct_token_kmv",
     "url_dedup",
     "crawl_snapshot",
+    "crawl_diff",
+    "training_mix",
     "lm_cross_entropy",
     "boilerplate_strip",
 ]

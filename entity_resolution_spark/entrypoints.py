@@ -596,8 +596,9 @@ def q_distinct_token_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter signal: per-doc cross-entropy under a
     Laplace-smoothed bigram LM trained on the corpus itself.  Per-bigram
-    ln(p) rounded to 6dp before the (order-sensitive) per-doc sum; output
-    ce at 4dp of the raw mean (see operators/lm.py)."""
+    ln(p) quantized to integer micro-nats, then integer arithmetic
+    end-to-end — the ce_micro output is exact, partition- and
+    engine-invariant (see operators/lm.py for why a float mean is not)."""
     from .operators.lm import bigram_cross_entropy
 
     return bigram_cross_entropy(_doc(spark, sf_dir))
@@ -2406,15 +2407,16 @@ def oracle_sql() -> dict[str, str]:
             ),
             lp AS (
               SELECT doc_id, m,
-                     round(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v)), 6)
-                       AS lp6
+                     round(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.v))
+                           * 1000000)::BIGINT AS lp_micro
               FROM doc_big
               JOIN c12 USING (w1, w2)
               JOIN c1 USING (w1)
               CROSS JOIN v
             )
             SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
-                   round(-sum(m * lp6) / sum(m)::DOUBLE, 4) AS ce
+                   ((-sum(m * lp_micro))::BIGINT // sum(m)::BIGINT)
+                     AS ce_micro
             FROM lp GROUP BY 1
         """,
         "soundex_keys": _soundex_sql(),

@@ -23,10 +23,20 @@ Scale design (100 TB):
 
 Cross-engine determinism: counts and V are integers (bit-exact), the smoothed
 probability is one IEEE division (correctly rounded, identical), and each
-bigram's ln(p) is rounded to 6dp BEFORE the per-document sum so both engines
-add identical terms.  The per-doc mean is still an accumulation-order-
-sensitive double sum, so the OUTPUT is round(raw, 4) per the repo-wide 4dp
-rule (never round the 6dp value again — midpoint double-rounding).
+bigram's ln(p) is quantized to an INTEGER count of micro-nats
+(``round(ln(p) * 1e6)`` as BIGINT) before any aggregation.  From there the
+pipeline never touches a float: per-doc sums of ``m * lp_micro`` are exact
+integer arithmetic (order-insensitive), and the per-doc mean is an integer
+division (``div`` / ``//``).  The score column ``ce_micro`` is the mean
+negative log-probability in micro-nats, floor-divided — compare/threshold it
+as an integer; divide by 1e6 only for display.
+
+Why not a rounded float mean: per-bigram values sitting exactly on the 1e-6
+decimal grid make the mean over small n land exactly ON 4dp midpoints with
+~1% probability, where Spark (HALF_UP on shortest repr) and any
+binary-rounding engine disagree — and worse, the raw float sum is partition-
+order sensitive, so the same engine can flip its own output across runs.
+Caught by the test suite as a suite-order-dependent 1-ulp flip.
 """
 
 from __future__ import annotations
@@ -68,12 +78,13 @@ def bigram_cross_entropy(
 
     ``p(w2|w1) = (c(w1,w2) + alpha) / (c_prefix(w1) + alpha * V)`` with
     ``c_prefix`` the count of w1 as a bigram prefix and V the corpus
-    vocabulary size; ``ce = -(1/n) * sum(ln p)`` over the doc's n bigram
-    occurrences.  Docs with <2 tokens are excluded (no bigrams to score).
+    vocabulary size; ``ce_micro = floor(-(sum of ln p in micro-nats) / n)``
+    over the doc's n bigram occurrences.  Docs with <2 tokens are excluded
+    (no bigrams to score).
 
-    Returns ``doc_id, n_bigrams, ce`` with ce = round(raw, 4); ranking or
-    thresholding downstream must happen on a 6dp-rounded value on both
-    engine sides (round-before-rank).
+    Returns ``doc_id, n_bigrams, ce_micro`` — an exact BIGINT in micro-nats
+    (integer arithmetic end-to-end after the per-bigram quantization, so
+    partition- and engine-invariant; see module docstring).
     """
     tok = _doc_tokens(docs, text_col, id_col)
     inst = _bigram_instances(tok)
@@ -91,33 +102,40 @@ def bigram_cross_entropy(
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
-            "lp6",
+            "lp_micro",
             F.round(
                 F.log(
                     (F.col("c12") + F.lit(alpha))
                     / (F.col("c1") + F.lit(alpha) * F.col("v"))
-                ),
-                6,
-            ),
+                )
+                * F.lit(1_000_000),
+                0,
+            ).cast("long"),
         )
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.sum("m").cast("long").alias("n_bigrams"),
-            F.round(-F.sum(F.col("m") * F.col("lp6")) / F.sum("m"), 4).alias(
-                "ce"
-            ),
+            (-F.sum(F.col("m") * F.col("lp_micro"))).alias("_neg_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_neg_sum div n_bigrams").alias("ce_micro"),
         )
     )
 
 
 def lm_bucket(
-    scored: DataFrame, head: float, middle: float, ce_col: str = "ce"
+    scored: DataFrame,
+    head: int,
+    middle: int,
+    ce_col: str = "ce_micro",
 ) -> DataFrame:
-    """CCNet head/middle/tail split at LITERAL thresholds (data-dependent
-    thresholds belong to the caller, who should derive them from a 6dp-
-    rounded score to keep any oracle comparison stable)."""
+    """CCNet head/middle/tail split at LITERAL integer micro-nat thresholds
+    (data-dependent thresholds belong to the caller; integer compares are
+    exact, so any oracle comparison is trivially stable)."""
     c = F.col(ce_col)
     return scored.withColumn(
         "bucket",

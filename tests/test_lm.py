@@ -25,10 +25,12 @@ def _expected(corpus: dict[int, str], alpha: int = 1) -> dict[int, tuple]:
     out = {}
     for d, bs in inst.items():
         lp = [
-            round(math.log((c12[b] + alpha) / (c1[b[0]] + alpha * vocab)), 6)
+            round(
+                math.log((c12[b] + alpha) / (c1[b[0]] + alpha * vocab)) * 1e6
+            )
             for b in bs
         ]
-        out[d] = (len(bs), round(-sum(lp) / len(lp), 4))
+        out[d] = (len(bs), -sum(lp) // len(lp))
     return out
 
 
@@ -44,7 +46,7 @@ def test_bigram_ce_known_values(spark):
         list(corpus.items()), "doc_id long, text string"
     )
     got = {
-        r["doc_id"]: (r["n_bigrams"], r["ce"])
+        r["doc_id"]: (r["n_bigrams"], r["ce_micro"])
         for r in bigram_cross_entropy(df).collect()
     }
     assert got == _expected(corpus)
@@ -53,7 +55,7 @@ def test_bigram_ce_known_values(spark):
     assert got[2][1] < got[1][1]
 
 
-def test_bigram_ce_partition_invariant_at_4dp(spark):
+def test_bigram_ce_partition_invariant_exactly(spark):
     from pyspark.sql import functions as F
 
     df = spark.range(200).select(
@@ -68,20 +70,23 @@ def test_bigram_ce_partition_invariant_at_4dp(spark):
             F.lit(" alpha beta epsilon"),
         ).alias("text"),
     )
-    a = {r["doc_id"]: r["ce"] for r in bigram_cross_entropy(df).collect()}
+    a = {
+        r["doc_id"]: r["ce_micro"] for r in bigram_cross_entropy(df).collect()
+    }
     b = {
-        r["doc_id"]: r["ce"]
+        r["doc_id"]: r["ce_micro"]
         for r in bigram_cross_entropy(df.repartition(13)).collect()
     }
-    assert a == b
+    assert a == b  # integer arithmetic: exact at ANY partitioning
 
 
 def test_lm_bucket_literal_thresholds(spark):
     df = spark.createDataFrame(
-        [(1, 0.5), (2, 1.0), (3, 2.0), (4, 5.0)], "doc_id long, ce double"
+        [(1, 500_000), (2, 1_000_000), (3, 2_000_000), (4, 5_000_000)],
+        "doc_id long, ce_micro long",
     )
     got = {
         r["doc_id"]: r["bucket"]
-        for r in lm_bucket(df, head=1.0, middle=2.0).collect()
+        for r in lm_bucket(df, head=1_000_000, middle=2_000_000).collect()
     }
     assert got == {1: "head", 2: "head", 3: "middle", 4: "tail"}
