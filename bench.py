@@ -66,6 +66,7 @@ HEADLINE = [
     "contamination_check",
     "pii_scan",
     "distinct_token_kmv",
+    "hll_distinct_tokens",
     "url_dedup",
     "crawl_snapshot",
     "crawl_diff",

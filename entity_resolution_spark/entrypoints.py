@@ -604,6 +604,20 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_cross_entropy(_doc(spark, sf_dir))
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate over the corpus vocabulary —
+    the map-side-combinable counterpart to distinct_token_kmv, with an
+    exact integer sketch checksum (s_scaled) oracled alongside the
+    estimate."""
+    from .functions.text import tokens as _tok
+    from .operators.sketches import hll_distinct_estimate
+
+    tok = _doc(spark, sf_dir).select(
+        F.explode(_tok(F.col("text"))).alias("tok")
+    )
+    return hll_distinct_estimate(tok, "tok")
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style line-level boilerplate removal.  The fixture text is
     single-line, so each doc is wrapped into a deterministic multi-line page
@@ -1155,6 +1169,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "contamination_check": q_contamination_check,
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
         "url_dedup": q_url_dedup,
         "training_mix": q_training_mix,
         "crawl_snapshot": q_crawl_snapshot,
@@ -1302,6 +1317,60 @@ _CRAWL_DIFF_SQL = _SNAPS_CTES + r"""
                    o.old_fp, n.new_fp
             FROM old_side o
             FULL OUTER JOIN new_side n ON o.canonical_url = n.canonical_url
+        """
+
+
+def _hll_sql() -> str:
+    """DuckDB mirror of sketches.hll_distinct_estimate over the corpus
+    token stream (same md5-prefix hash as KMV; exact integer register
+    sums; constants shared with the Spark side by importing them)."""
+    from entity_resolution_spark.operators.sketches import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_W,
+    )
+
+    num = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+    return f"""
+            WITH lst AS (
+                SELECT list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            tok AS (SELECT unnest(toks) AS tok FROM lst),
+            h AS (
+                SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM tok
+            ),
+            r AS (
+                SELECT h >> {_HLL_W} AS bucket,
+                       CASE WHEN strpos(lpad(bin(
+                                h & ((1::BIGINT << {_HLL_W}) - 1)),
+                                {_HLL_W}, '0'), '1') = 0
+                            THEN {_HLL_W + 1}
+                            ELSE strpos(lpad(bin(
+                                h & ((1::BIGINT << {_HLL_W}) - 1)),
+                                {_HLL_W}, '0'), '1') END AS rho
+                FROM h
+            ),
+            regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY 1),
+            agg AS (
+                SELECT count(*) AS present,
+                       (sum(1::BIGINT << (53 - m_j))::BIGINT
+                        + ({_HLL_M} - count(*)) * (1::BIGINT << 53))
+                           AS s_scaled,
+                       ({_HLL_M} - count(*))::BIGINT AS n_zero
+                FROM regs
+            )
+            SELECT {_HLL_M}::BIGINT AS m,
+                   n_zero AS n_zero_registers,
+                   s_scaled::BIGINT AS s_scaled,
+                   round(CASE WHEN {num!r} / s_scaled <= {2.5 * _HLL_M!r}
+                               AND n_zero > 0
+                          THEN {float(_HLL_M)!r}
+                               * ln({float(_HLL_M)!r} / n_zero)
+                          ELSE {num!r} / s_scaled END, 6) AS est_distinct
+            FROM agg
         """
 
 
@@ -2314,6 +2383,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "pii_scan": _pii_sql(),
+        "hll_distinct_tokens": _hll_sql(),
         "distinct_token_kmv": r"""
             WITH lst AS (
                 SELECT list_filter(string_split_regex(text, '\s+'),

@@ -225,3 +225,38 @@ def test_strip_boilerplate_all_boiler_doc_yields_empty(spark):
     out = strip_boilerplate(df, min_docs=5).collect()
     assert all(r["cleaned"] == "" and r["n_boiler"] == 2 for r in out)
     assert len(out) == 5
+
+
+def test_hll_accuracy_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.sketches import (
+        hll_distinct_estimate,
+    )
+
+    # 20k distinct values, each appearing twice (duplicates must not move
+    # the registers)
+    df = spark.range(40_000).select(
+        (F.col("id") % 20_000).cast("string").alias("v")
+    )
+    a = hll_distinct_estimate(df, "v").collect()[0].asDict()
+    b = (
+        hll_distinct_estimate(df.repartition(23), "v").collect()[0].asDict()
+    )
+    assert a == b  # register maxes are order/partition invariant, exactly
+    # HLL std error ~ 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    assert abs(a["est_distinct"] - 20_000) / 20_000 < 0.26, a
+
+
+def test_hll_small_range_linear_counting(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.sketches import (
+        hll_distinct_estimate,
+    )
+
+    df = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    row = hll_distinct_estimate(df, "v").collect()[0]
+    assert row["n_zero_registers"] >= 226  # at most 30 registers hit
+    # linear counting is near-exact at this occupancy
+    assert abs(row["est_distinct"] - 30) <= 2, row["est_distinct"]
