@@ -67,6 +67,7 @@ HEADLINE = [
     "pii_scan",
     "distinct_token_kmv",
     "hll_distinct_tokens",
+    "dup_spans",
     "url_dedup",
     "crawl_snapshot",
     "crawl_diff",

@@ -604,6 +604,14 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_cross_entropy(_doc(spark, sf_dir))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated 8-gram spans (Lee et al. removable-span
+    dedup primitive) over the documents table."""
+    from .operators.dedup import duplicated_spans
+
+    return duplicated_spans(_doc(spark, sf_dir))
+
+
 def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate over the corpus vocabulary —
     the map-side-combinable counterpart to distinct_token_kmv, with an
@@ -1170,6 +1178,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
         "hll_distinct_tokens": q_hll_distinct_tokens,
+        "dup_spans": q_dup_spans,
         "url_dedup": q_url_dedup,
         "training_mix": q_training_mix,
         "crawl_snapshot": q_crawl_snapshot,
@@ -2384,6 +2393,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scan": _pii_sql(),
         "hll_distinct_tokens": _hll_sql(),
+        "dup_spans": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(toks[i:i+7], ' ')) AS gram_md5
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) r
+              WHERE len(toks) >= 8
+            ),
+            dup AS (
+              SELECT gram_md5 FROM pos
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+              SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram_md5)
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS island
+              FROM cov
+            )
+            SELECT doc_id, min(pos)::BIGINT AS start_tok,
+                   (max(pos) + 7)::BIGINT AS end_tok,
+                   count(*)::BIGINT AS n_grams
+            FROM isl GROUP BY doc_id, island
+        """,
         "distinct_token_kmv": r"""
             WITH lst AS (
                 SELECT list_filter(string_split_regex(text, '\s+'),

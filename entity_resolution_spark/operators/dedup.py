@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_fingerprint
+from ..functions.text import md5_fingerprint, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -589,3 +589,72 @@ def embedding_near_dup_pairs(
             "id1", "id2", F.round("_raw", output_round_to).alias("cosine")
         )
     return out.select("id1", "id2", "cosine")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    gram_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (the removable-span
+    primitive of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — here seeded at L-gram granularity
+    rather than a suffix array, which does not distribute).
+
+    A position p of a doc is *covered* when its L-token gram (L =
+    ``gram_tokens``) also occurs in >= ``min_docs`` distinct documents;
+    maximal runs of consecutive covered positions are merged into spans,
+    so a 50-token verbatim quote shared by two pages emits ONE span of
+    43 covered L=8 positions, not 43 rows.  Returns one row per span:
+    ``doc_id, start_tok, end_tok, n_grams`` (inclusive 0-based token
+    indices; ``end_tok - start_tok + 1 = n_grams + L - 1`` tokens).
+
+    Scale shape: per-position grams are an array projection and are hashed
+    in the SAME projection (only the 32-char md5 ever shuffles, never gram
+    text); duplicated grams come from one hash aggregate; coverage is a
+    shuffle equi-join on the gram hash; span merging is the classic
+    islands trick — ``pos - row_number()`` per doc — over a window
+    PARTITIONED by doc (no global window).  Everything is O(total tokens)
+    rows with map-side combine.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= gram_tokens,
+        F.transform(
+            F.sequence(F.lit(0), n - gram_tokens),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i + 1, gram_tokens))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram_md5"),
+    )
+    dup = (
+        pos.groupBy("gram_md5")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram_md5")
+    )
+    covered = pos.join(dup, "gram_md5").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = covered.withColumn(
+        "_island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(gram_tokens - 1)).cast("long").alias(
+                "end_tok"
+            ),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .drop("_island")
+    )

@@ -185,3 +185,37 @@ def test_simhash_bucket_cap(spark):
     assert full.count() == 10  # C(5,2) identical docs
     capped = dedup.simhash_near_pairs(sig, max_hamming=3, max_bucket_size=3)
     assert capped.count() == 0  # all 4 bands hold the same 5-doc mega bucket
+
+
+def test_duplicated_spans_merging_and_thresholds(spark):
+    from entity_resolution_spark.operators.dedup import duplicated_spans
+
+    quote = " ".join(f"q{i}" for i in range(12))  # 12 shared tokens
+    rows = [
+        # docs 1+2 share the 12-token quote at different offsets
+        (1, "a b c " + quote + " x y"),
+        (2, quote + " z"),
+        # doc 3: long unique text, nothing shared
+        (3, " ".join(f"u{i}" for i in range(30))),
+        # doc 4: shares an 8-gram with doc 5 AND a disjoint one later ->
+        # two separate spans
+        (4, "s0 s1 s2 s3 s4 s5 s6 s7 GAP1 GAP2 t0 t1 t2 t3 t4 t5 t6 t7"),
+        (5, "pre s0 s1 s2 s3 s4 s5 s6 s7 mid t0 t1 t2 t3 t4 t5 t6 t7"),
+        # doc 6: shorter than 8 tokens -> no positions at all
+        (6, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in duplicated_spans(df, gram_tokens=8).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["end_tok"], r["n_grams"])
+        )
+    for v in out.values():
+        v.sort()
+    # 12-token quote = 5 consecutive duplicated 8-grams merged into ONE span
+    assert out[1] == [(3, 14, 5)]   # tokens 3..14 = the quote
+    assert out[2] == [(0, 11, 5)]
+    assert 3 not in out and 6 not in out
+    # two disjoint spans, not merged across the gap
+    assert out[4] == [(0, 7, 1), (10, 17, 1)]
+    assert out[5] == [(1, 8, 1), (10, 17, 1)]
