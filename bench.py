@@ -74,6 +74,7 @@ HEADLINE = [
     "training_mix",
     "lm_cross_entropy",
     "boilerplate_strip",
+    "prepared_corpus",
 ]
 
 

@@ -747,6 +747,69 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "canonical_url", "fp")
 
 
+def q_prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end webtext pipeline (plans/webtext_pipeline.py), oracle
+    checked as one statement: synthesized (url, warc_ts, page) crawl →
+    canonicalize + compact → per-source boilerplate strip → quality/lang
+    filter → exact+LSH dedup with transitive closure → stratified mix.
+    The DuckDB mirror composes the url-canon CTEs, the printf argmax, the
+    boilerplate CTEs, the doc_filter quality/lang fragments, and the
+    keep-list recursive closure over the CLEANED text."""
+    from .plans.webtext_pipeline import WebtextConfig, prepare_corpus
+
+    d = _doc(spark, sf_dir)
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Cookie notice for "), F.col("source")),
+        F.concat(F.lit("Home | About | "), F.col("source")),
+        F.col("text"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(50)) == 0,
+            F.lit("Subscribe to our newsletter"),
+        ),
+        F.concat(F.lit("(c) 2024 "), F.col("source")),
+    )
+    pages = d.select(
+        "doc_id",
+        "source",
+        _synth_url().alias("url"),
+        F.expr(
+            "timestampadd(HOUR, cast(pmod(doc_id, 240) * 7 as int),"
+            " timestamp'2024-01-01 00:00:00')"
+        ).alias("warc_ts"),
+        page.alias("page"),
+    )
+    import re as _re
+
+    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    rate_cycle = [0.9, 0.5, 0.25, 0.0]
+    rates = {
+        s: rate_cycle[int(_re.search(r"(\d+)", s).group(1)) % 4] for s in srcs
+    }
+    out = prepare_corpus(
+        pages,
+        WebtextConfig(
+            boiler_min_docs=5,
+            min_quality=0.3,
+            keep_langs=("en",),
+            max_ce_micro=None,
+            jaccard_threshold=0.8,
+            mix_rates=rates,
+            mix_default_rate=0.0,
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "canonical_url",
+        "n_versions",
+        "source",
+        "n_boiler",
+        "quality",
+        "lang_pred",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
     URLs and group.  The fixture corpus has no url column, so each doc's
@@ -1180,6 +1243,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "dup_spans": q_dup_spans,
         "url_dedup": q_url_dedup,
+        "prepared_corpus": q_prepared_corpus,
         "training_mix": q_training_mix,
         "crawl_snapshot": q_crawl_snapshot,
         "crawl_diff": q_crawl_diff,
@@ -1326,6 +1390,205 @@ _CRAWL_DIFF_SQL = _SNAPS_CTES + r"""
                    o.old_fp, n.new_fp
             FROM old_side o
             FULL OUTER JOIN new_side n ON o.canonical_url = n.canonical_url
+        """
+
+
+def _prepared_corpus_sql() -> str:
+    """Single-statement DuckDB mirror of q_prepared_corpus: url-canon CTEs →
+    printf-argmax compaction → boilerplate CTEs over the compacted pages →
+    doc_filter's quality/lang fragments over the CLEANED text → the
+    keep-list minhash/LSH/recursive-closure over the cleaned text →
+    stratified-mix hash threshold."""
+    t09, t05, t025 = (
+        int(0.9 * (1 << 60)),
+        int(0.5 * (1 << 60)),
+        int(0.25 * (1 << 60)),
+    )
+    head = _URL_CANON_CTES.replace("WITH u AS (", "WITH RECURSIVE u AS (", 1)
+    return head + f"""
+            , snaps AS (
+              SELECT doc_id, canonical_url,
+                TIMESTAMP '2024-01-01 00:00:00'
+                  + to_hours((doc_id % 240) * 7) AS warc_ts
+              FROM canon
+            ),
+            win AS (
+              SELECT canonical_url, count(*)::BIGINT AS n_versions,
+                     9999999 - substr(max(printf('%015d%07d',
+                         epoch(warc_ts)::BIGINT, 9999999 - doc_id)),
+                         16, 7)::BIGINT AS doc_id
+              FROM snaps GROUP BY 1
+            ),
+            pages AS (
+              SELECT w.canonical_url, w.n_versions, w.doc_id, d.source,
+                concat_ws(chr(10),
+                  'Cookie notice for ' || d.source,
+                  'Home | About | ' || d.source,
+                  d.text,
+                  CASE WHEN d.doc_id % 50 = 0
+                       THEN 'Subscribe to our newsletter' END,
+                  '(c) 2024 ' || d.source) AS page
+              FROM win w JOIN documents d ON d.doc_id = w.doc_id
+            ),
+            plines AS (
+              SELECT doc_id, source AS grp, i - 1 AS pos, l[i] AS line,
+                     trim(l[i]) AS norm
+              FROM (SELECT doc_id, source,
+                           string_split(page, chr(10)) AS l FROM pages),
+                   LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) r
+            ),
+            pboiler AS (
+              SELECT grp, norm FROM plines WHERE norm <> ''
+              GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 5
+            ),
+            pflag AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     (b.norm IS NOT NULL) AS is_boiler
+              FROM plines l
+              LEFT JOIN pboiler b ON l.grp = b.grp AND l.norm = b.norm
+            ),
+            cleaned AS (
+              SELECT doc_id,
+                     sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT
+                       AS n_boiler,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos)
+                              FILTER (WHERE NOT is_boiler), '') AS text
+              FROM pflag GROUP BY 1
+            ),
+            s AS (
+                SELECT doc_id, length(text) AS n,
+                       length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
+                           / greatest(length(text), 1) AS punct_ratio,
+                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
+                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')), 1) AS sw_ratio
+                FROM cleaned
+            ),
+            qual AS (
+                SELECT doc_id,
+                       round((least(n / 500.0, 1.0)
+                              + (1.0 - least(punct_ratio * 4.0, 1.0))
+                              + least(sw_ratio * 5.0, 1.0)) / 3.0, 6)
+                         AS quality
+                FROM s
+            ),
+            ltoks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM cleaned
+            ),
+            lscores AS (
+                SELECT doc_id, lang, score FROM (
+                    SELECT doc_id, 'de' AS lang,
+                           len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','von','zu'))) AS score FROM ltoks
+                    UNION ALL
+                    SELECT doc_id, 'en',
+                           len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) FROM ltoks
+                    UNION ALL
+                    SELECT doc_id, 'es',
+                           len(list_filter(t, x -> x IN ('el','la','de','que','los','una','con','por','para','es'))) FROM ltoks
+                    UNION ALL
+                    SELECT doc_id, 'fr',
+                           len(list_filter(t, x -> x IN ('le','la','et','les','des','est','pas','une','dans','que'))) FROM ltoks
+                )
+            ),
+            lang_best AS (
+                SELECT doc_id,
+                       CASE WHEN score > 0 THEN lang ELSE 'und' END
+                         AS lang_pred
+                FROM (SELECT doc_id, lang, score,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC,
+                                                         lang DESC) AS rn
+                      FROM lscores)
+                WHERE rn = 1
+            ),
+            filt AS (
+                SELECT c.doc_id, c.n_boiler, c.text, q.quality, lb.lang_pred
+                FROM cleaned c
+                JOIN qual q USING (doc_id)
+                JOIN lang_best lb USING (doc_id)
+                WHERE q.quality >= 0.3 AND lb.lang_pred IN ('en')
+            ),
+            tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(text, '\\s+')) AS tok
+                    FROM filt
+                ) WHERE tok <> ''
+            ),
+            ne_toksz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+            sig AS (SELECT doc_id, {_MINHASH_COLS} FROM tok GROUP BY doc_id),
+            banded AS (
+                SELECT doc_id, 0 AS band, h0::varchar || '_' || h1::varchar AS bucket FROM sig
+                UNION ALL
+                SELECT doc_id, 1, h2::varchar || '_' || h3::varchar FROM sig
+                UNION ALL
+                SELECT doc_id, 2, h4::varchar || '_' || h5::varchar FROM sig
+                UNION ALL
+                SELECT doc_id, 3, h6::varchar || '_' || h7::varchar FROM sig
+            ),
+            cands AS (
+                SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+                FROM banded l JOIN banded r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                 AND l.doc_id < r.doc_id
+            ),
+            inter AS (
+                SELECT c.id1, c.id2, count(*) AS isect
+                FROM cands c
+                JOIN tok t1 ON t1.doc_id = c.id1
+                JOIN tok t2 ON t2.doc_id = c.id2 AND t1.tok = t2.tok
+                GROUP BY 1, 2
+            ),
+            near AS (
+                SELECT i.id1, i.id2
+                FROM inter i
+                JOIN ne_toksz s1 ON s1.doc_id = i.id1
+                JOIN ne_toksz s2 ON s2.doc_id = i.id2
+                WHERE i.isect::double / (s1.n_tok + s2.n_tok - i.isect) >= 0.8
+            ),
+            fp AS (
+                SELECT doc_id AS id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                         AS fp
+                FROM filt
+            ),
+            fpmin AS (SELECT fp, min(id) AS keep FROM fp GROUP BY 1),
+            exact AS (
+                SELECT f.id AS id1, m.keep AS id2
+                FROM fp f JOIN fpmin m USING (fp) WHERE f.id <> m.keep
+            ),
+            alledges AS (SELECT id1, id2 FROM exact
+                         UNION SELECT id1, id2 FROM near),
+            bi AS (SELECT id1 AS src, id2 AS dst FROM alledges
+                   UNION SELECT id2, id1 FROM alledges),
+            reach(src, dst) AS (
+                SELECT src, dst FROM bi
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN bi e ON r.dst = e.src
+            ),
+            mins AS (SELECT src, min(dst) AS mn FROM reach GROUP BY 1),
+            kept AS (
+                SELECT f.doc_id FROM filt f
+                LEFT JOIN mins m ON f.doc_id = m.src
+                WHERE f.doc_id = least(f.doc_id, coalesce(m.mn, f.doc_id))
+            )
+            SELECT p.doc_id, p.canonical_url, p.n_versions, p.source,
+                   f.n_boiler, f.quality, f.lang_pred,
+                   md5(f.text) AS text_md5
+            FROM kept k
+            JOIN filt f ON f.doc_id = k.doc_id
+            JOIN pages p ON p.doc_id = k.doc_id
+            WHERE ('0x' || substr(md5('mix-v1:' || p.doc_id::VARCHAR), 1, 15))
+                    ::BIGINT
+                  < CASE (regexp_extract(p.source, '(\\d+)', 1)::INT % 4)
+                      WHEN 0 THEN {t09}
+                      WHEN 1 THEN {t05}
+                      WHEN 2 THEN {t025}
+                      ELSE 0 END
         """
 
 
@@ -2446,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
         """,
         "url_dedup": _URL_DEDUP_SQL,
+        "prepared_corpus": _prepared_corpus_sql(),
         "training_mix": f"""
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5('mix-v1:' || doc_id::VARCHAR), 1, 15))
