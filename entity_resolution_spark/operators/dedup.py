@@ -597,6 +597,7 @@ def duplicated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_positions: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans (the removable-span
     primitive of Lee et al., "Deduplicating Training Data Makes Language
@@ -618,6 +619,11 @@ def duplicated_spans(
     islands trick — ``pos - row_number()`` per doc — over a window
     PARTITIONED by doc (no global window).  Everything is O(total tokens)
     rows with map-side combine.
+
+    ``materialize_positions`` localCheckpoints the position/gram-hash table
+    before its two consumers (the dup aggregate and the coverage join) —
+    otherwise the tokenize+md5 projection runs twice; measured at sf0.1:
+    ~5.5 s vs ~9.2 s (A/B, 3 reps each, quiet local[32]).
     """
     from pyspark.sql.window import Window
 
@@ -636,6 +642,8 @@ def duplicated_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(grams).alias("pos", "gram_md5"),
     )
+    if materialize_positions:
+        pos = pos.localCheckpoint(eager=False)
     dup = (
         pos.groupBy("gram_md5")
         .agg(F.count_distinct("doc_id").alias("nd"))
