@@ -67,3 +67,43 @@ def test_block_purging_trades_recall_for_bound(spark):
     assert m["fn"] == 150 * 149 // 2        # exactly the hot entity's pairs lost
     # organic recall intact: all remaining truth pairs found
     assert m["tp"] > 0
+
+
+def test_strip_boilerplate_hot_line_correct_under_skew(spark):
+    """A viral line in EVERY doc of one source (the hot (grp,norm) join
+    key): results stay exact and identical at any partitioning."""
+    from entity_resolution_spark.operators.webtext import strip_boilerplate
+
+    rows = [
+        (i, "hot", f"viral cookie wall\nbody {i} words here\nviral cookie wall")
+        for i in range(400)
+    ] + [(1000 + i, "cold", f"only body {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, page string")
+    a = {
+        r["doc_id"]: (r["n_boiler"], r["cleaned"])
+        for r in strip_boilerplate(df, min_docs=5).collect()
+    }
+    assert all(a[i] == (2, f"body {i} words here") for i in range(400))
+    assert all(a[1000 + i] == (0, f"only body {i}") for i in range(20))
+    b = {
+        r["doc_id"]: (r["n_boiler"], r["cleaned"])
+        for r in strip_boilerplate(df.repartition(17), min_docs=5).collect()
+    }
+    assert a == b
+
+
+def test_duplicated_spans_viral_gram_under_skew(spark):
+    """One 8-gram shared by 300 docs (hot gram_md5 join key): every doc
+    reports exactly its own span; partition-invariant."""
+    from entity_resolution_spark.operators.dedup import duplicated_spans
+
+    viral = "v0 v1 v2 v3 v4 v5 v6 v7"
+    rows = [(i, f"u{i}a u{i}b {viral} u{i}c u{i}d") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(df, gram_tokens=8).collect()
+    assert len(out) == 300
+    assert all(
+        (r["start_tok"], r["end_tok"], r["n_grams"]) == (2, 9, 1) for r in out
+    )
+    out2 = duplicated_spans(df.repartition(13), gram_tokens=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
