@@ -68,6 +68,7 @@ HEADLINE = [
     "distinct_token_kmv",
     "hll_distinct_tokens",
     "dup_spans",
+    "pack_sequences",
     "url_dedup",
     "crawl_snapshot",
     "crawl_diff",

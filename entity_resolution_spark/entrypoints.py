@@ -612,6 +612,19 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_doc(spark, sf_dir))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget training-sequence packing (next-fit within hash-ordered
+    shards) over the documents table: budget 512 whitespace tokens,
+    8 shards.  Integer window arithmetic end-to-end."""
+    from .functions.text import tokens as _tok
+    from .operators.packing import pack_sequences
+
+    d = _doc(spark, sf_dir).select(
+        "doc_id", F.size(_tok(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(d, budget_tokens=512, n_shards=8)
+
+
 def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate over the corpus vocabulary —
     the map-side-combinable counterpart to distinct_token_kmv, with an
@@ -1242,6 +1255,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "distinct_token_kmv": q_distinct_token_kmv,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "dup_spans": q_dup_spans,
+        "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
         "prepared_corpus": q_prepared_corpus,
         "training_mix": q_training_mix,
@@ -2656,6 +2670,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scan": _pii_sql(),
         "hll_distinct_tokens": _hll_sql(),
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     t -> t <> ''))::BIGINT AS n_tokens,
+                     ('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            sh AS (SELECT doc_id, n_tokens, (h % 8)::INT AS shard, h FROM d),
+            pre AS (
+              SELECT doc_id, n_tokens, shard,
+                     coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS p
+              FROM sh
+            )
+            SELECT doc_id, n_tokens, shard, (p // 512)::BIGINT AS pack_id
+            FROM pre
+        """,
         "dup_spans": r"""
             WITH tok AS (
               SELECT doc_id,

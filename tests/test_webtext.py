@@ -260,3 +260,47 @@ def test_hll_small_range_linear_counting(spark):
     assert row["n_zero_registers"] >= 226  # at most 30 registers hit
     # linear counting is near-exact at this occupancy
     assert abs(row["est_distinct"] - 30) <= 2, row["est_distinct"]
+
+
+def test_pack_sequences_budget_and_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.packing import pack_sequences
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(400)) + 1).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    out = pack_sequences(df, budget_tokens=1000, n_shards=4).collect()
+    assert len(out) == 2_000
+    # next-fit invariant: every pack's total minus its LAST-ENTERING doc is
+    # under budget (i.e. pre-assignment cumsum < budget for every member)
+    import collections
+
+    packs = collections.defaultdict(list)
+    for r in out:
+        packs[(r["shard"], r["pack_id"])].append(r["n_tokens"])
+    for sizes in packs.values():
+        assert sum(sizes) - max(sizes) < 1000
+    # consecutive pack ids per shard, starting at 0
+    per_shard = collections.defaultdict(set)
+    for s, p in packs:
+        per_shard[s].add(p)
+    for ids in per_shard.values():
+        assert ids == set(range(len(ids)))
+    # partition-invariant (integer window arithmetic)
+    out2 = pack_sequences(
+        df.repartition(13), budget_tokens=1000, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_sequences_rejects_bad_budget():
+    import pytest
+
+    from entity_resolution_spark.operators.packing import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(None, budget_tokens=0)
