@@ -69,6 +69,7 @@ HEADLINE = [
     "hll_distinct_tokens",
     "dup_spans",
     "pack_sequences",
+    "packed_corpus",
     "url_dedup",
     "crawl_snapshot",
     "crawl_diff",

@@ -625,6 +625,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget_tokens=512, n_shards=8)
 
 
+def q_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training packs: concatenated member texts per
+    (shard, pack_id) in the packing's hash order, compared by md5."""
+    from .functions.text import tokens as _tok
+    from .operators.packing import packed_texts
+
+    d = _doc(spark, sf_dir).select(
+        "doc_id", "text", F.size(_tok(F.col("text"))).alias("n_tokens")
+    )
+    out = packed_texts(d, budget_tokens=512, n_shards=8)
+    return out.select(
+        "shard",
+        "pack_id",
+        "n_docs",
+        "n_tokens",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token estimate over the corpus vocabulary —
     the map-side-combinable counterpart to distinct_token_kmv, with an
@@ -1256,6 +1275,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "dup_spans": q_dup_spans,
         "pack_sequences": q_pack_sequences,
+        "packed_corpus": q_packed_corpus,
         "url_dedup": q_url_dedup,
         "prepared_corpus": q_prepared_corpus,
         "training_mix": q_training_mix,
@@ -2690,6 +2710,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, shard, (p // 512)::BIGINT AS pack_id
             FROM pre
+        """,
+        "packed_corpus": r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     t -> t <> ''))::BIGINT AS n_tokens,
+                     ('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR),
+                                     1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, text, n_tokens, (h % 8)::INT AS shard, h FROM d
+            ),
+            pre AS (
+              SELECT doc_id, text, n_tokens, shard, h,
+                     coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS p
+              FROM sh
+            )
+            SELECT shard, (p // 512)::BIGINT AS pack_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   md5(string_agg(text, chr(10) || chr(10)
+                                  ORDER BY h, doc_id)) AS text_md5
+            FROM pre GROUP BY 1, 2
         """,
         "dup_spans": r"""
             WITH tok AS (

@@ -69,3 +69,47 @@ def pack_sequences(
             ),
         )
     )
+
+
+def packed_texts(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str = "n_tokens",
+    salt: str = "pack-v1",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Materialize the packs: one output row per (shard, pack_id) with the
+    member documents concatenated in the SAME hash order the packing used
+    (struct-sort of (hash, id, text) inside the group — deterministic at
+    any partitioning, no second window).  Returns
+    ``shard, pack_id, n_docs, n_tokens, text``.
+    """
+    assignments = pack_sequences(
+        docs,
+        budget_tokens,
+        n_shards=n_shards,
+        id_col=id_col,
+        n_tokens_col=n_tokens_col,
+        salt=salt,
+    )
+    h = sample_hash(F.col(id_col), salt)
+    joined = assignments.join(
+        docs.select(id_col, text_col), id_col
+    ).withColumn("_h", h)
+    member = F.struct(F.col("_h"), F.col(id_col), F.col(text_col).alias("t"))
+    return (
+        joined.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(member)), lambda x: x["t"]
+                ),
+                separator,
+            ).alias("text"),
+        )
+    )

@@ -304,3 +304,31 @@ def test_pack_sequences_rejects_bad_budget():
 
     with pytest.raises(ValueError):
         pack_sequences(None, budget_tokens=0)
+
+
+def test_packed_texts_order_and_totals(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.packing import packed_texts
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        F.lit(2).cast("long").alias("n_tokens"),
+    )
+    out = packed_texts(df, budget_tokens=10, n_shards=2).collect()
+    # totals partition the corpus
+    assert sum(r["n_docs"] for r in out) == 200
+    assert sum(r["n_tokens"] for r in out) == 400
+    # concat order inside a pack == the packing's (hash, id) order
+    def h(i):
+        return int(hashlib.md5(f"pack-v1:{i}".encode()).hexdigest()[:15], 16)
+
+    for r in out:
+        ids = [int(t.split()[1]) for t in r["text"].split("\n\n")]
+        assert ids == sorted(ids, key=lambda i: (h(i), i))
+        assert len(ids) == r["n_docs"]
+    out2 = packed_texts(df.repartition(11), budget_tokens=10, n_shards=2)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2.collect()))
