@@ -71,6 +71,7 @@ HEADLINE = [
     "pack_sequences",
     "packed_corpus",
     "url_dedup",
+    "domain_stats",
     "crawl_snapshot",
     "crawl_diff",
     "training_mix",

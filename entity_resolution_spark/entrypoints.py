@@ -842,6 +842,52 @@ def q_prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus report (the CCNet-style stats stage): docs, total
+    tokens, mean quality in integer micro-units (the quantize-to-int rule:
+    a rounded float mean of 6dp-grid values parks on midpoints — see
+    lm_cross_entropy), dominant language (argmax by count, code tie-break)
+    per registrable host of the synthesized URLs."""
+    from .functions.text import lang_guess, quality_score, tokens as _tok
+    from .functions.urls import host_of
+
+    d = _doc(spark, sf_dir).select(
+        "doc_id",
+        host_of(_synth_url()).alias("host"),
+        F.size(_tok(F.col("text"))).alias("n_tokens"),
+        F.round(F.round(quality_score(F.col("text")), 6) * 1_000_000, 0)
+        .cast("long")
+        .alias("q_micro"),
+        lang_guess(F.col("text")).alias("lang"),
+    )
+    per_lang = d.groupBy("host", "lang").agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("tok"),
+        F.sum("q_micro").alias("qsum"),
+    )
+    # dominant language: max docs, ties -> lexicographically smallest code
+    # (encode as struct(n, negated code?) — strings can't negate, so invert
+    # via min over struct(-n, lang))
+    win = F.min(
+        F.struct((-F.col("n")).alias("nn"), F.col("lang").alias("lg"))
+    ).alias("w")
+    return (
+        per_lang.groupBy("host")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+            F.sum("qsum").alias("_qs"),
+            win,
+        )
+        .select(
+            "host",
+            "n_docs",
+            "total_tokens",
+            F.expr("_qs div n_docs").cast("long").alias("mean_q_micro"),
+            F.col("w.lg").alias("top_lang"),
+        )
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
     URLs and group.  The fixture corpus has no url column, so each doc's
@@ -1277,6 +1323,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "pack_sequences": q_pack_sequences,
         "packed_corpus": q_packed_corpus,
         "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
         "prepared_corpus": q_prepared_corpus,
         "training_mix": q_training_mix,
         "crawl_snapshot": q_crawl_snapshot,
@@ -2791,6 +2838,80 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
         """,
         "url_dedup": _URL_DEDUP_SQL,
+        "domain_stats": r"""
+            WITH s AS (
+                SELECT doc_id, length(text) AS n,
+                       length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
+                           / greatest(length(text), 1) AS punct_ratio,
+                       len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
+                           / greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')), 1) AS sw_ratio
+                FROM documents
+            ),
+            qual AS (
+                SELECT doc_id,
+                       round(round((least(n / 500.0, 1.0)
+                              + (1.0 - least(punct_ratio * 4.0, 1.0))
+                              + least(sw_ratio * 5.0, 1.0)) / 3.0, 6)
+                             * 1000000)::BIGINT AS q_micro
+                FROM s
+            ),
+            ltoks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            lscores AS (
+                SELECT doc_id, lang, score FROM (
+                    SELECT doc_id, 'de' AS lang,
+                           len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','von','zu'))) AS score FROM ltoks
+                    UNION ALL
+                    SELECT doc_id, 'en',
+                           len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) FROM ltoks
+                    UNION ALL
+                    SELECT doc_id, 'es',
+                           len(list_filter(t, x -> x IN ('el','la','de','que','los','una','con','por','para','es'))) FROM ltoks
+                    UNION ALL
+                    SELECT doc_id, 'fr',
+                           len(list_filter(t, x -> x IN ('le','la','et','les','des','est','pas','une','dans','que'))) FROM ltoks
+                )
+            ),
+            lang_best AS (
+                SELECT doc_id,
+                       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang
+                FROM (SELECT doc_id, lang, score,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC,
+                                                         lang DESC) AS rn
+                      FROM lscores)
+                WHERE rn = 1
+            ),
+            base AS (
+                SELECT d.doc_id,
+                       'site' || (d.doc_id % 40)::VARCHAR || '.example.com'
+                         AS host,
+                       len(list_filter(string_split_regex(d.text, '\s+'),
+                                       t -> t <> ''))::BIGINT AS n_tokens,
+                       q.q_micro, lb.lang
+                FROM documents d
+                JOIN qual q USING (doc_id)
+                JOIN lang_best lb USING (doc_id)
+            ),
+            per_lang AS (
+                SELECT host, lang, count(*) AS n,
+                       sum(n_tokens)::BIGINT AS tok,
+                       sum(q_micro)::BIGINT AS qsum
+                FROM base GROUP BY 1, 2
+            )
+            SELECT host, sum(n)::BIGINT AS n_docs,
+                   sum(tok)::BIGINT AS total_tokens,
+                   (sum(qsum)::BIGINT // sum(n)::BIGINT) AS mean_q_micro,
+                   substr(min(printf('%010d', 100000000 - n)
+                              || '|' || lang), 12) AS top_lang
+            FROM per_lang GROUP BY 1
+        """,
         "prepared_corpus": _prepared_corpus_sql(),
         "training_mix": f"""
             SELECT doc_id, source FROM documents

@@ -69,3 +69,12 @@ def canonical_url(url: Column) -> Column:
         path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
     )
+
+
+def host_of(url: Column) -> Column:
+    """Registrable host of a URL (lowercased, www-stripped, port dropped) —
+    the grouping key for per-domain corpus statistics.  Pure JVM regex."""
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT, 1))
+    return F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":\d+$", ""
+    )

@@ -332,3 +332,18 @@ def test_packed_texts_order_and_totals(spark):
         assert len(ids) == r["n_docs"]
     out2 = packed_texts(df.repartition(11), budget_tokens=10, n_shards=2)
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2.collect()))
+
+
+def test_host_of_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.functions.urls import host_of
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a?b=1", "example.com"),
+        ("http://sub.Site.org:8080/", "sub.site.org"),
+        ("https://plain.io/x", "plain.io"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["h"] for r in df.withColumn("h", host_of(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
