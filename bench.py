@@ -72,6 +72,7 @@ HEADLINE = [
     "packed_corpus",
     "url_dedup",
     "domain_stats",
+    "blocked_docs",
     "crawl_snapshot",
     "crawl_diff",
     "training_mix",

@@ -888,6 +888,21 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filtering over the synthesized URLs:
+    suffix-explode + broadcast equi-join (never a non-equi endswith scan);
+    reports each blocked doc with its most specific matching entry."""
+    from .functions.urls import blocklist_hits
+
+    d = _doc(spark, sf_dir).select("doc_id", _synth_url().alias("url"))
+    blocked = spark.createDataFrame(
+        [("site3.example.com",), ("site17.example.com",),
+         ("site21.example.com",)],
+        "domain string",
+    )
+    return blocklist_hits(d, blocked)
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (CCNet §3.1 stage): canonicalize spelled-differently
     URLs and group.  The fixture corpus has no url column, so each doc's
@@ -1324,6 +1339,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "packed_corpus": q_packed_corpus,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
+        "blocked_docs": q_blocked_docs,
         "prepared_corpus": q_prepared_corpus,
         "training_mix": q_training_mix,
         "crawl_snapshot": q_crawl_snapshot,
@@ -2913,6 +2929,28 @@ def oracle_sql() -> dict[str, str]:
             FROM per_lang GROUP BY 1
         """,
         "prepared_corpus": _prepared_corpus_sql(),
+        "blocked_docs": r"""
+            WITH hosts AS (
+              SELECT doc_id,
+                     'site' || (doc_id % 40)::VARCHAR || '.example.com'
+                       AS host
+              FROM documents
+            ),
+            sfx AS (
+              SELECT doc_id, host, array_to_string(parts[i:], '.') AS sfx
+              FROM (SELECT doc_id, host,
+                           string_split(host, '.') AS parts FROM hosts),
+                   LATERAL (SELECT unnest(range(1, len(parts))) AS i) r
+            ),
+            hits AS (
+              SELECT * FROM sfx
+              WHERE sfx IN ('site3.example.com', 'site17.example.com',
+                            'site21.example.com')
+            )
+            SELECT doc_id, host,
+                   max_by(sfx, length(sfx)) AS matched_domain
+            FROM hits GROUP BY doc_id, host
+        """,
         "training_mix": f"""
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5('mix-v1:' || doc_id::VARCHAR), 1, 15))

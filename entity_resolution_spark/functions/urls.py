@@ -78,3 +78,47 @@ def host_of(url: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(hostport, r"^www\.", ""), r":\d+$", ""
     )
+
+
+def domain_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host with >= 2 labels (``a.b.co`` →
+    ``['a.b.co', 'b.co']``): the equi-join key set for blocklist matching.
+    A UT1-style blocklist entry blocks a host iff it equals one of these —
+    turning "host ends with .blocked.domain" into an equi-join instead of
+    a non-equi scan (the classic suffix-explode trick; list length is the
+    label count, bounded ~5 for real hosts)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+def blocklist_hits(
+    pages,
+    blocked,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+):
+    """Rows of ``pages`` whose URL host falls under any blocked domain
+    (exact host or any parent domain), with the matching blocklist entry.
+
+    ``blocked`` is a 1-column DataFrame ``(domain)``; it is broadcast —
+    blocklists are millions of rows at most, far under broadcast limits.
+    Each page contributes ~label-count suffix rows; a host matching
+    several entries reports the most specific (longest) one.
+    Returns ``(id_col, host, matched_domain)``; anti-join the ids to keep
+    the clean side."""
+    host = host_of(F.col(url_col))
+    sfx = pages.select(
+        F.col(id_col), host.alias("host"),
+        F.explode(domain_suffixes(host)).alias("sfx"),
+    )
+    hits = sfx.join(
+        F.broadcast(blocked.selectExpr("domain AS sfx")), "sfx"
+    )
+    return (
+        hits.groupBy(id_col, "host")
+        .agg(F.max_by("sfx", F.length("sfx")).alias("matched_domain"))
+    )

@@ -347,3 +347,28 @@ def test_host_of_known_values(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["h"] for r in df.withColumn("h", host_of(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_blocklist_parent_domain_and_specificity(spark):
+    from entity_resolution_spark.functions.urls import blocklist_hits
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://ads.tracker.net/x"),     # parent-domain match
+            (2, "https://sub.ads.tracker.net/y"), # grandparent + parent
+            (3, "https://tracker.net/z"),         # exact match
+            (4, "https://safetracker.net/ok"),    # NOT a suffix match
+            (5, "https://clean.example.io/ok"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("tracker.net",), ("ads.tracker.net",)], "domain string"
+    )
+    got = {
+        r["doc_id"]: r["matched_domain"]
+        for r in blocklist_hits(pages, blocked).collect()
+    }
+    # most specific entry wins where several match
+    assert got == {1: "ads.tracker.net", 2: "ads.tracker.net",
+                   3: "tracker.net"}
