@@ -86,13 +86,22 @@ def domain_suffixes(host: Column) -> Column:
     A UT1-style blocklist entry blocks a host iff it equals one of these —
     turning "host ends with .blocked.domain" into an equi-join instead of
     a non-equi scan (the classic suffix-explode trick; list length is the
-    label count, bounded ~5 for real hosts)."""
+    label count, bounded ~5 for real hosts).
+
+    Hosts with fewer than 2 labels (``localhost``, the empty host a
+    malformed URL extracts to) yield an empty list rather than crashing:
+    an unguarded ``sequence(0, n-2)`` is ``sequence(0, -1)`` = a
+    DESCENDING ``[0, -1]`` whose ``-1`` index makes ``slice`` throw, and
+    real crawl data routinely contains malformed URLs."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    return F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
-    )
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def blocklist_hits(

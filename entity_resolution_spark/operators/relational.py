@@ -38,20 +38,34 @@ def asof_join(
     (deterministic).  Right value columns come back prefixed and NULL when
     no right row precedes the left row.
 
+    All right value columns are carried as ONE struct through a single
+    ``last(ignorenulls=True)``, so the output row's ``r_*`` attributes all
+    come from the same right row even when some of its value columns are
+    NULL (per-column ``last`` would mix attributes across right rows: a
+    NULL in one column makes that column skip back to an earlier row).
+
     Both inputs must share ``key`` and ``ts_col`` names; output keeps every
     left column.
     """
     lcols = left.columns
+    rstruct_type = (
+        right.select(
+            F.struct(
+                *[F.col(c).alias(prefix + c) for c in right_value_cols]
+            ).alias("_rvals")
+        ).schema["_rvals"].dataType
+    )
     l = left.withColumn("_is_l", F.lit(1))
-    for c in right_value_cols:
-        l = l.withColumn(prefix + c, F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_rvals", F.lit(None).cast(rstruct_type))
     l = l.withColumn("_tie", F.lit(None).cast(right.schema[right_tie_col].dataType))
 
     r = right.select(
         key,
         ts_col,
         F.lit(0).alias("_is_l"),
-        *[F.col(c).alias(prefix + c) for c in right_value_cols],
+        F.struct(
+            *[F.col(c).alias(prefix + c) for c in right_value_cols]
+        ).alias("_rvals"),
         F.col(right_tie_col).alias("_tie"),
     )
     for c in lcols:
@@ -66,14 +80,15 @@ def asof_join(
         .orderBy(ts_col, "_is_l", F.coalesce(F.col("_tie"), F.lit(-1)))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(prefix + c, ignorenulls=True).over(w).alias(prefix + c)
-        for c in right_value_cols
-    ]
+    carried = F.last("_rvals", ignorenulls=True).over(w).alias("_rvals")
     return (
-        u.select(*lcols, "_is_l", *carried)
+        u.select(*lcols, "_is_l", carried)
         .filter(F.col("_is_l") == 1)
-        .drop("_is_l")
+        .select(
+            *lcols,
+            *[F.col("_rvals")[prefix + c].alias(prefix + c)
+              for c in right_value_cols],
+        )
     )
 
 

@@ -107,7 +107,13 @@ def hll_distinct_estimate(df: DataFrame, col: str) -> DataFrame:
     # plus 2^53 per absent register (m_j = 0).
     agg = regs.agg(
         F.count("*").alias("_present"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)"))
+        # coalesce: on an EMPTY input the sum over zero register rows is
+        # NULL and would propagate through s_scaled/est_distinct; the
+        # correct empty-sketch state is all-m zero registers → est 0.
+        F.coalesce(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)")),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("_s_present"),
     ).select(

@@ -11,10 +11,17 @@ both paths over the same rows in different orders).
 
 Scale shape: state holds ONE row per canonical URL (not per snapshot), the
 per-batch work is one hash aggregate over (batch + state) co-keyed by URL,
-and the rewrite is a parquet swap via a temp directory + atomic rename —
-the same checkpoint discipline as plans/checkpoint.py.  On a real cluster
-the state table would live in a table format with upserts (the aggregate is
-a textbook MERGE), but the fold logic is identical.
+and the rewrite is crash-atomic: each batch writes a fresh versioned
+directory ``state_v{batch_id}`` and then atomically renames a one-line
+pointer file (``CURRENT``) over the old one — at every instant CURRENT
+names a complete, readable state directory, so a crash at any point
+resumes from either the pre-batch or post-batch state, never from empty
+(a swap that renames the live directory away before renaming the new one
+in has a window with NO state; replaying the batch after a crash there
+would re-fold n_versions from zero and undercount).  On a real cluster
+the state table would live in a table format with upserts (the aggregate
+is a textbook MERGE and the pointer file is exactly a snapshot pointer),
+but the fold logic is identical.
 """
 
 from __future__ import annotations
@@ -36,12 +43,22 @@ class StreamingCrawlCompactor:
         self.spark = spark
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
-        self._state_path = os.path.join(state_dir, "latest")
+        self._pointer = os.path.join(state_dir, "CURRENT")
+
+    def _current_version(self) -> str | None:
+        """Name of the live versioned state dir, or None before batch 0."""
+        try:
+            with open(self._pointer) as fh:
+                name = fh.read().strip()
+        except FileNotFoundError:
+            return None
+        return name or None
 
     def state(self) -> DataFrame | None:
-        if not os.path.exists(self._state_path):
+        name = self._current_version()
+        if name is None:
             return None
-        return self.spark.read.parquet(self._state_path)
+        return self.spark.read.parquet(os.path.join(self.state_dir, name))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         snaps = batch.select(
@@ -88,16 +105,24 @@ class StreamingCrawlCompactor:
                     (-F.col("w.nid")).alias("keep_doc_id"),
                 )
             )
-        tmp = self._state_path + f"._tmp_{batch_id}"
-        new.write.mode("overwrite").parquet(tmp)
-        old = self._state_path + f"._old_{batch_id}"
-        if os.path.exists(self._state_path):
-            os.rename(self._state_path, old)
-        os.rename(tmp, self._state_path)
-        if os.path.exists(old):
+        # Crash-atomic swap: write the new state as its own versioned dir,
+        # then flip the pointer file with an atomic rename-over (POSIX
+        # rename of a file onto an existing file is atomic).  Only after
+        # the pointer is durable do we delete superseded versions — a
+        # crash at ANY line leaves CURRENT naming a complete directory.
+        prev = self._current_version()
+        vname = f"state_v{batch_id}"
+        new.write.mode("overwrite").parquet(os.path.join(self.state_dir, vname))
+        ptmp = self._pointer + ".tmp"
+        with open(ptmp, "w") as fh:
+            fh.write(vname)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(ptmp, self._pointer)
+        if prev is not None and prev != vname:
             import shutil
 
-            shutil.rmtree(old)
+            shutil.rmtree(os.path.join(self.state_dir, prev), ignore_errors=True)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
         """Wire onto a streaming DataFrame of (url, warc_ts, doc_id)."""

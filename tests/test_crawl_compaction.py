@@ -118,3 +118,40 @@ def test_through_real_writestream(spark, tmp_path):
         k: (v[0], v[2]) for k, v in _batch_result(spark, rows).items()
     }
     assert got == want
+
+
+def test_state_swap_is_crash_atomic(spark, tmp_path):
+    """A crash at any point of the state swap must leave a readable state:
+    the versioned dir is written first, the pointer file is flipped with
+    one atomic rename, old versions are deleted only after."""
+    import os
+
+    sd = tmp_path / "state_crash"
+    c = StreamingCrawlCompactor(spark, str(sd))
+    c.process_batch(_batch_df(spark, _rows(20)), 0)
+    before = _snapshot(c)
+
+    # simulate a crash AFTER the new versioned dir was written but BEFORE
+    # the pointer flip: an orphan state_v99 exists, CURRENT still names v0
+    orphan = sd / "state_v99"
+    _batch_df(spark, _rows(5)).write.mode("overwrite").parquet(str(orphan))
+    assert _snapshot(c) == before  # recovery reads the pre-crash state
+
+    # a pointer tmp file left by a crash mid-write must also be harmless
+    (sd / "CURRENT.tmp").write_text("state_vBOGUS")
+    assert _snapshot(c) == before
+
+    # normal processing resumes and folds on top of the pre-crash state
+    c.process_batch(_batch_df(spark, _rows(40)[20:]), 1)
+    assert _snapshot(c) == _batch_result(spark, _rows(40))
+    # superseded version was cleaned up; CURRENT names an existing dir
+    cur = (sd / "CURRENT").read_text().strip()
+    assert (sd / cur).exists()
+    assert not (sd / "state_v0").exists()
+
+
+def _snapshot(c):
+    return {
+        r["canonical_url"]: (r["n_versions"], r["latest_ts"], r["keep_doc_id"])
+        for r in c.state().collect()
+    }

@@ -237,3 +237,30 @@ def test_snapshot_diff_statuses(spark):
         "c": ("removed", "h3", None),
         "d": ("added", None, "h4"),
     }
+
+
+def test_asof_join_null_right_value_stays_on_one_row(spark):
+    """A NULL value column in the latest right row must NOT pull that
+    attribute from an EARLIER right row (per-column last(ignorenulls)
+    would): all r_* attributes come from the same right row."""
+    purchases = _events(spark, [(1, 7, _ts("2024-01-01 10:00:00"))])
+    clicks = spark.createDataFrame(
+        [
+            (50, 7, _ts("2024-01-01 08:00:00"), "early-campaign"),
+            (51, 7, _ts("2024-01-01 09:00:00"), None),  # latest; NULL attr
+        ],
+        "click_id long, user_id long, ts timestamp_ntz, campaign string",
+    )
+    (row,) = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        right_value_cols=["click_id", "ts", "campaign"],
+        right_tie_col="click_id",
+    ).collect()
+    assert row["r_click_id"] == 51
+    assert row["r_ts"] == _ts("2024-01-01 09:00:00")
+    # the latest click's campaign is NULL — it must come back NULL, not
+    # be backfilled from click 50
+    assert row["r_campaign"] is None

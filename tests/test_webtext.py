@@ -372,3 +372,56 @@ def test_blocklist_parent_domain_and_specificity(spark):
     # most specific entry wins where several match
     assert got == {1: "ads.tracker.net", 2: "ads.tracker.net",
                    3: "tracker.net"}
+
+
+def test_blocklist_survives_malformed_and_single_label_hosts(spark):
+    """Real crawl data contains malformed URLs and bare hosts; the
+    suffix-explode must yield an empty suffix list for <2-label hosts
+    rather than throwing (sequence(0,-1) is descending and slice(-1)
+    aborts the job)."""
+    from entity_resolution_spark.functions.urls import (
+        blocklist_hits,
+        domain_suffixes,
+        host_of,
+    )
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            (1, "http://localhost/x"),        # single-label host
+            (2, "not a url at all"),          # host extracts to ''
+            (3, "https://ads.tracker.net/y"), # normal blocked host
+            (4, ""),                          # empty string
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("tracker.net",)], "domain string")
+    got = {
+        r["doc_id"]: r["matched_domain"]
+        for r in blocklist_hits(pages, blocked).collect()
+    }
+    assert got == {3: "tracker.net"}
+    # direct check of the suffix list shape on degenerate hosts
+    sfx = {
+        r["doc_id"]: r["s"]
+        for r in pages.select(
+            "doc_id", domain_suffixes(host_of(F.col("url"))).alias("s")
+        ).collect()
+    }
+    assert sfx[1] == [] and sfx[2] == [] and sfx[4] == []
+    assert sfx[3] == ["ads.tracker.net", "tracker.net"]
+
+
+def test_hll_empty_input_reports_zero(spark):
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.sketches import (
+        hll_distinct_estimate,
+    )
+
+    df = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    row = hll_distinct_estimate(df, "v").collect()[0]
+    m = row["m"]
+    assert row["n_zero_registers"] == m
+    assert row["s_scaled"] == m * (1 << 53)  # all registers at rho=0
+    assert row["est_distinct"] == 0.0
