@@ -72,6 +72,99 @@ def engineer_pandas(pdf: pd.DataFrame, spec: FeatureSpec) -> np.ndarray:
     return np.column_stack(cols)
 
 
+def _engineer_spark(
+    records: DataFrame,
+    spec: FeatureSpec,
+    component_col: str,
+    id_col: str,
+) -> tuple[DataFrame, list[str]]:
+    """Distributed mirror of :func:`engineer_pandas` for the Lloyd fallback.
+
+    Per-component scaler stats come from a groupBy + equi-join (map-side
+    combinable partial aggregates) rather than a window, so a mega
+    component never lands in one task; quarter-circle embeds are plain
+    Catalyst expressions.  Column order matches ``engineer_pandas``
+    (bools, numerics, dates, ordinals).
+    """
+    from ..functions import features as FE
+
+    out = records
+    fcols: list[str] = []
+    for c in spec.bool_cols:
+        cos, sin = FE.embed_bool(F.col(c))
+        out = out.withColumn(f"_f_{c}_cos", cos * F.lit(spec.weight(f"{c}_cos")))
+        out = out.withColumn(f"_f_{c}_sin", sin * F.lit(spec.weight(f"{c}_sin")))
+        fcols += [f"_f_{c}_cos", f"_f_{c}_sin"]
+    if spec.numeric_cols:
+        aggs = []
+        for c in spec.numeric_cols:
+            aggs += [
+                F.avg(F.col(c).cast("double")).alias(f"_mu_{c}"),
+                F.stddev_pop(F.col(c).cast("double")).alias(f"_sd_{c}"),
+            ]
+        stats = records.groupBy(component_col).agg(*aggs)
+        out = out.join(stats, component_col)
+        for c in spec.numeric_cols:
+            z = F.when(
+                F.col(f"_sd_{c}") > 0,
+                (F.col(c).cast("double") - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}"),
+            ).otherwise(F.lit(0.0))
+            out = out.withColumn(f"_f_{c}", z * F.lit(spec.weight(c)))
+            fcols.append(f"_f_{c}")
+    for c, ref, horizon in spec.date_cols:
+        cos, sin = FE.embed_date(F.col(c), ref, horizon)
+        out = out.withColumn(f"_f_{c}_cos", cos * F.lit(spec.weight(f"{c}_cos")))
+        out = out.withColumn(f"_f_{c}_sin", sin * F.lit(spec.weight(f"{c}_sin")))
+        fcols += [f"_f_{c}_cos", f"_f_{c}_sin"]
+    for c, mx in spec.ordinal_cols:
+        cos, sin = FE.embed_ordinal(F.col(c), mx)
+        out = out.withColumn(f"_f_{c}_cos", cos * F.lit(spec.weight(f"{c}_cos")))
+        out = out.withColumn(f"_f_{c}_sin", sin * F.lit(spec.weight(f"{c}_sin")))
+        fcols += [f"_f_{c}_cos", f"_f_{c}_sin"]
+    return out.select(component_col, id_col, *fcols), fcols
+
+
+def _lloyd_fallback(
+    big: DataFrame,
+    spec: FeatureSpec,
+    component_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+) -> DataFrame:
+    """Distributed single-k clustering for oversized components, emitted in
+    the sweep's long-form schema (one k row, wcss of the final assignment,
+    NaN silhouette — exact silhouette is O(n²) and meaningless to attempt
+    on a component that already blew the sweep's size gate)."""
+    feats, fcols = _engineer_spark(big, spec, component_col, id_col)
+    asg = klsh_lloyd(
+        feats, fcols, k=k, iters=iters,
+        component_col=component_col, id_col=id_col,
+    )
+    j = feats.join(asg, [component_col, id_col])
+    means = j.groupBy(component_col, "cluster_id").agg(
+        *[F.avg(c).alias(f"_m_{c}") for c in fcols]
+    )
+    jm = j.join(means, [component_col, "cluster_id"])
+    sq = None
+    for c in fcols:
+        term = (F.col(c) - F.col(f"_m_{c}")) * (F.col(c) - F.col(f"_m_{c}"))
+        sq = term if sq is None else sq + term
+    wcss = jm.groupBy(component_col).agg(F.sum(sq).alias("wcss"))
+    return (
+        asg.join(wcss, component_col)
+        .select(
+            F.col(component_col).alias("component_id"),
+            F.col(id_col).alias("record_id"),
+            F.lit(k).cast("int").alias("k"),
+            # lloyd cids are 1-based; the sweep's are 0-based
+            (F.col("cluster_id") - 1).cast("int").alias("cluster_id"),
+            F.col("wcss").cast("double"),
+            F.lit(float("nan")).cast("double").alias("silhouette"),
+        )
+    )
+
+
 def klsh_sweep(
     records: DataFrame,
     spec: FeatureSpec,
@@ -80,14 +173,41 @@ def klsh_sweep(
     k_bottom: int = 1,
     k_top: int = 10,
     seed: int = 42,
+    max_component_rows: int = 100_000,
+    oversize: str = "lloyd",
 ) -> DataFrame:
-    """k-sweep KMeans per component → long-form assignments + fit metrics."""
+    """k-sweep KMeans per component → long-form assignments + fit metrics.
+
+    Each component is one Arrow group, so an unguarded mega component (a
+    pruning misfire on a boilerplate-heavy corpus can chain millions of
+    records into one component) would OOM a single ``applyInPandas`` task.
+    Components larger than ``max_component_rows`` are therefore split off
+    by a size pre-aggregation and either
+
+    * ``oversize="lloyd"`` (default): routed to the fully-distributed
+      :func:`klsh_lloyd` at ``k=k_top`` — their rows come back in the same
+      long-form schema with a single k, the final-assignment wcss, and NaN
+      silhouette (sorts last in :func:`best_k_unsupervised`, so the row
+      still wins its component's rank-1 as the only candidate); or
+    * ``oversize="error"``: the job fails loudly with the component id and
+      size instead of an inscrutable executor OOM.
+
+    The size check costs one count aggregate + equi-join — map-side
+    combinable, negligible next to the k sweep itself.
+    """
+    if oversize not in ("lloyd", "error"):
+        raise ValueError(f"oversize must be 'lloyd' or 'error', got {oversize!r}")
 
     def run_component(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         comp = pdf[component_col].iloc[0]
         ids = pdf[id_col].to_numpy()
         n = len(pdf)
+        if n > max_component_rows:
+            raise ValueError(
+                f"component {comp} has {n} rows > max_component_rows="
+                f"{max_component_rows}; raise the cap or use oversize='lloyd'"
+            )
         out = []
         if n == 1:
             out.append((comp, ids[0], k_bottom, 0, 0.0, float("nan")))
@@ -105,7 +225,17 @@ def klsh_sweep(
             ],
         )
 
-    return records.groupBy(component_col).applyInPandas(run_component, KLSH_SCHEMA)
+    if oversize == "error":
+        return records.groupBy(component_col).applyInPandas(
+            run_component, KLSH_SCHEMA
+        )
+    sizes = records.groupBy(component_col).agg(F.count("*").alias("_n"))
+    tagged = records.join(sizes, component_col)
+    small = tagged.where(F.col("_n") <= max_component_rows).drop("_n")
+    big = tagged.where(F.col("_n") > max_component_rows).drop("_n")
+    swept = small.groupBy(component_col).applyInPandas(run_component, KLSH_SCHEMA)
+    routed = _lloyd_fallback(big, spec, component_col, id_col, k=k_top, iters=5)
+    return swept.unionByName(routed)
 
 
 def _nearest_centroid(

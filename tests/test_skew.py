@@ -107,3 +107,88 @@ def test_duplicated_spans_viral_gram_under_skew(spark):
     )
     out2 = duplicated_spans(df.repartition(13), gram_tokens=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_klsh_sweep_mega_component_routes_to_lloyd(spark):
+    """A planted 10^5-row component (pruning-misfire scenario) must not
+    reach the per-component Arrow group: it is split off by the size gate
+    and clustered by the distributed klsh_lloyd, while small components
+    keep the exact sweep semantics."""
+    from entity_resolution_spark.functions.features import FeatureSpec
+    from entity_resolution_spark.operators.klsh import (
+        best_k_unsupervised,
+        klsh_sweep,
+    )
+
+    spec = FeatureSpec(
+        numeric_cols=("x",),
+        ordinal_cols=(("o", 9),),
+    )
+    n_big = 100_000
+    big = spark.range(n_big).select(
+        F.lit(0).cast("long").alias("component_id"),
+        F.col("id").alias("record_id"),
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 10).cast("long").alias("o"),
+    )
+    small = spark.range(6).select(
+        F.lit(1).cast("long").alias("component_id"),
+        (F.col("id") + n_big).alias("record_id"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 10).cast("long").alias("o"),
+    )
+    records = big.unionByName(small)
+
+    sweep = klsh_sweep(
+        records, spec, k_bottom=1, k_top=3,
+        max_component_rows=1_000, oversize="lloyd",
+    ).localCheckpoint(eager=True)
+
+    # big component: exactly one k (=k_top), every record assigned,
+    # cluster ids 0-based, wcss finite, silhouette NaN
+    big_rows = sweep.where(F.col("component_id") == 0)
+    assert big_rows.count() == n_big
+    ks = [r["k"] for r in big_rows.select("k").distinct().collect()]
+    assert ks == [3]
+    cids = sorted(
+        r["cluster_id"] for r in big_rows.select("cluster_id").distinct().collect()
+    )
+    assert cids[0] == 0 and len(cids) <= 3
+    r0 = big_rows.limit(1).collect()[0]
+    import math
+
+    assert math.isnan(r0["silhouette"]) and r0["wcss"] >= 0.0
+
+    # small component: full sweep k=1..3 preserved
+    small_ks = sorted(
+        r["k"]
+        for r in sweep.where(F.col("component_id") == 1)
+        .select("k").distinct().collect()
+    )
+    assert small_ks == [1, 2, 3]
+
+    # best-k selection still yields one row per component (NaN sorts last
+    # but the lone lloyd row wins its component)
+    best = {
+        r["component_id"]: r["best_k"]
+        for r in best_k_unsupervised(sweep).collect()
+    }
+    assert set(best) == {0, 1} and best[0] == 3
+
+
+def test_klsh_sweep_mega_component_error_mode_fails_loudly(spark):
+    import pytest
+
+    from entity_resolution_spark.functions.features import FeatureSpec
+    from entity_resolution_spark.operators.klsh import klsh_sweep
+
+    spec = FeatureSpec(numeric_cols=("x",))
+    records = spark.range(50).select(
+        F.lit(0).cast("long").alias("component_id"),
+        F.col("id").alias("record_id"),
+        F.col("id").cast("double").alias("x"),
+    )
+    with pytest.raises(Exception, match="max_component_rows"):
+        klsh_sweep(
+            records, spec, max_component_rows=10, oversize="error"
+        ).collect()
