@@ -8,13 +8,14 @@ codec step is pluggable:
 
 * a **deterministic synthetic codec** (``IMG1``/``AUD1``/``VID1`` headers,
   raw payload) used by tests and fixtures,
-* **dependency-free real codecs**: uncompressed BMP (8-bit palette and
-  24-bit BGR), binary PGM (P5) / PPM (P6), and RIFF/WAVE PCM-16 audio —
-  parsed with ``struct``/``numpy`` only, and
-* a clearly-marked hook that raises ``NotImplementedError`` for compressed
-  formats (JPEG/PNG/MP3/MP4) — those codecs are not in this container; on a
-  real cluster you plug Pillow/ffmpeg into ``decode_image_bytes`` etc.
-  without touching any Spark code.
+* **dependency-free real codecs**: PNG (8-bit gray/RGB/RGBA/palette —
+  stdlib zlib inflate + scanline unfiltering incl. Paeth), uncompressed BMP
+  (8-bit palette and 24-bit BGR), binary PGM (P5) / PPM (P6), and RIFF/WAVE
+  PCM-16 audio — parsed with ``zlib``/``struct``/``numpy`` only, and
+* a clearly-marked hook that raises ``NotImplementedError`` for the
+  remaining compressed formats (JPEG/MP3/MP4) — those codecs are not in
+  this container; on a real cluster you plug Pillow/ffmpeg into
+  ``decode_image_bytes`` etc. without touching any Spark code.
 """
 
 from __future__ import annotations
@@ -149,6 +150,133 @@ def _decode_pnm(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced, filter-0 rows, one zlib
+    IDAT): 2-D input → grayscale, 3-D input → gray+alpha / RGB / RGBA by
+    channel count.  Fixture counterpart of :func:`_decode_png`; stdlib only.
+    """
+    import zlib
+
+    if pixels.ndim == 2:
+        h, w = pixels.shape
+        nch, color_type = 1, 0
+    else:
+        h, w, nch = pixels.shape
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    raw = pixels.astype(np.uint8).reshape(h, w * nch)
+    stream = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(stream: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4).  None/Up/Sub vectorize
+    (Sub is a per-lane cumulative sum); Average/Paeth carry an intra-row
+    byte dependency, so those rows fall back to a Python loop — fine for
+    metadata/feature extraction, plug Pillow via ``register_decoder`` when
+    image throughput matters."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = stream[pos]
+        pos += 1
+        row = np.frombuffer(stream, np.uint8, stride, pos).copy()
+        pos += stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: cumulative sum within each bpp lane (mod 256)
+            n_lanes_rows = stride // bpp
+            lanes = row[: n_lanes_rows * bpp].reshape(n_lanes_rows, bpp)
+            row[: n_lanes_rows * bpp] = (
+                np.cumsum(lanes.astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).ravel()
+        elif ft == 2:  # Up: uint8 addition wraps mod 256 by itself
+            row += prev
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def _decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib PNG decoder: 8-bit depth, non-interlaced; color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA).  zlib inflate
+    + scanline unfiltering; RGB collapses to Rec.601 luma like the other
+    image decoders, alpha is dropped.  Adam7 interlace and 1/2/4/16-bit
+    depths raise ``NotImplementedError`` (rare in crawl data; plug Pillow
+    for full coverage)."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise NotImplementedError("not a PNG")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(data):
+        ln = struct.unpack(">I", data[pos : pos + 4])[0]
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={interlace} unsupported "
+            "(8-bit non-interlaced only)"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype}")
+    stream = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    px = _png_unfilter(stream, h, stride, nch).reshape(h, w, nch)
+    if ctype in (0, 4):  # gray / gray+alpha
+        return w, h, px[:, :, 0].copy()
+    if ctype == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG missing PLTE")
+        rgb = plte[px[:, :, 0]]
+        return w, h, _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    return w, h, _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+
+
 def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE chunk walk; PCM (format 1) 16-bit, stereo averaged to mono."""
     if data[8:12] != b"WAVE":
@@ -210,12 +338,14 @@ def decode_image_bytes(data: bytes, extra=()) -> tuple[int, int, np.ndarray]:
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return _decode_pnm(data)
+    if data[:8] == PNG_SIG:
+        return _decode_png(data)
     for dec in extra or _EXTRA_DECODERS["image"]:
         out = dec(data)
         if out is not None:
             return out
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG) not available in this container; "
+        "compressed image codecs (JPEG) not available in this container; "
         "register one via multimodal.register_decoder('image', fn)"
     )
 

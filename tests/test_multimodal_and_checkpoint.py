@@ -233,3 +233,143 @@ def test_registered_codec_flows_end_to_end(spark):
     # with the registry cleared, the same bytes raise the documented error
     with pytest.raises(NotImplementedError, match="register_decoder"):
         MM.decode_image_bytes(b"\xff\xd8" + bytes(range(6)))
+
+
+# --- PNG (stdlib zlib + unfilter) -------------------------------------------
+
+def _png_forward_filter(raw: np.ndarray, ftypes: list[int], bpp: int) -> bytes:
+    """Apply PNG scanline filters forward (test-side): proves the decoder's
+    unfilter inverts every filter type, not just the writer's filter 0."""
+    h, stride = raw.shape
+    assert len(ftypes) == h
+    prev = np.zeros(stride, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        row, ft = raw[y].astype(int), ftypes[y]
+        enc = np.zeros(stride, dtype=np.uint8)
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (row[i] - pred) & 0xFF
+        out += bytes([ft]) + enc.tobytes()
+        prev = raw[y]
+    return bytes(out)
+
+
+def _png_from_stream(w, h, ctype, stream, plte=None):
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    png = MM.PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if plte is not None:
+        png += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return png + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+
+
+def test_png_gray_rgb_rgba_round_trip():
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    w, h, px = MM.decode_image_bytes(MM.encode_png(gray))
+    assert (w, h) == (13, 9) and np.array_equal(px, gray)
+
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    w, h, px = MM.decode_image_bytes(MM.encode_png(rgb))
+    want = MM._luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    assert (w, h) == (5, 6) and np.array_equal(px, want)
+
+    rgba = rng.integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    w, h, px = MM.decode_image_bytes(MM.encode_png(rgba))
+    want = MM._luma(rgba[:, :, 0], rgba[:, :, 1], rgba[:, :, 2])
+    assert (w, h) == (7, 4) and np.array_equal(px, want)  # alpha dropped
+
+    ga = rng.integers(0, 256, size=(3, 8, 2), dtype=np.uint8)
+    w, h, px = MM.decode_image_bytes(MM.encode_png(ga))
+    assert (w, h) == (8, 3) and np.array_equal(px, ga[:, :, 0])
+
+
+def test_png_all_filter_types_unfilter():
+    """Forward-filter rows with every type (incl. Average/Paeth) and check
+    the decoder recovers the exact pixels."""
+    rng = np.random.default_rng(11)
+    for nch, ctype in [(1, 0), (3, 2), (4, 6)]:
+        raw = rng.integers(0, 256, size=(5, 6 * nch), dtype=np.uint8)
+        stream = _png_forward_filter(raw, [0, 1, 2, 3, 4], bpp=nch)
+        w, h, px = MM.decode_image_bytes(
+            _png_from_stream(6, 5, ctype, stream)
+        )
+        got = raw.reshape(5, 6, nch)
+        if nch == 1:
+            want = got[:, :, 0]
+        else:
+            want = MM._luma(got[:, :, 0], got[:, :, 1], got[:, :, 2])
+        assert (w, h) == (6, 5) and np.array_equal(px, want), (nch, ctype)
+
+
+def test_png_palette_decode():
+    rng = np.random.default_rng(3)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 4), dtype=np.uint8)
+    stream = _png_forward_filter(idx, [0, 4, 1, 2, 3, 0, 4], bpp=1)
+    w, h, px = MM.decode_image_bytes(_png_from_stream(4, 7, 3, stream, plte))
+    rgb = plte[idx]
+    want = MM._luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    assert (w, h) == (4, 7) and np.array_equal(px, want)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    gray = np.zeros((2, 2), dtype=np.uint8)
+    good = MM.encode_png(gray)
+    # 16-bit depth
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 16  # IHDR depth byte
+    with pytest.raises(NotImplementedError, match="depth"):
+        MM.decode_image_bytes(bytes(bad))
+    # Adam7 interlace
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(NotImplementedError, match="interlace"):
+        MM.decode_image_bytes(bytes(bad))
+
+
+def test_png_through_spark(spark):
+    """PNG binaries through the real mapInPandas operators."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(4):
+        px = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+        rows.append((i, bytearray(MM.encode_png(px)), px))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], "doc_id long, image binary"
+    )
+    feats = {r["doc_id"]: r for r in MM.image_features(df).collect()}
+    for i, _, px in rows:
+        want = MM._luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        assert (feats[i]["width"], feats[i]["height"]) == (10, 8)
+        assert feats[i]["mean_luma"] == pytest.approx(want.mean(), abs=1e-9)
+    small = MM.image_resize(df, 5, 4).collect()
+    w, h, px2 = MM.decode_image_bytes(bytes(small[0]["image"]))
+    assert (w, h) == (5, 4) and px2.shape == (4, 5)
