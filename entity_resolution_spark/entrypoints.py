@@ -697,10 +697,10 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; a deployment would pass its curated rate table)."""
     import re as _re
 
-    from .operators.sampling import hash_stratified_sample
+    from .operators.sampling import collect_strata, hash_stratified_sample
 
     d = _doc(spark, sf_dir).select("doc_id", "source")
-    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    srcs = collect_strata(d, "source")
     rate_cycle = [0.9, 0.5, 0.25, 0.0]
     rates = {
         s: rate_cycle[int(_re.search(r"(\d+)", s).group(1)) % 4] for s in srcs
@@ -813,7 +813,9 @@ def q_prepared_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import re as _re
 
-    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    from .operators.sampling import collect_strata
+
+    srcs = collect_strata(d, "source")
     rate_cycle = [0.9, 0.5, 0.25, 0.0]
     rates = {
         s: rate_cycle[int(_re.search(r"(\d+)", s).group(1)) % 4] for s in srcs

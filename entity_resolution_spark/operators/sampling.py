@@ -48,6 +48,31 @@ def rate_threshold(rate: float) -> int:
     return int(rate * _SCALE)
 
 
+def collect_strata(
+    df: DataFrame, strata_col: str, max_strata: int = 10_000
+) -> list:
+    """Driver-side distinct strata list with an explicit cardinality cap.
+
+    ``hash_stratified_sample`` compiles the rate table into a literal
+    CASE expression, so the strata list is a DRIVER-SIDE contract: it is
+    safe only for genuinely low-cardinality keys (sources, domains-tiers,
+    languages).  Stratifying on a high-cardinality key (url, doc hash)
+    would melt the driver and produce a megabyte-scale plan — this helper
+    fetches ``max_strata + 1`` distinct values and fails loudly instead.
+    """
+    vals = [
+        r[strata_col]
+        for r in df.select(strata_col).distinct().limit(max_strata + 1).collect()
+    ]
+    if len(vals) > max_strata:
+        raise ValueError(
+            f"{strata_col} has more than max_strata={max_strata} distinct "
+            "values; stratified sampling compiles strata into the plan — "
+            "use a lower-cardinality stratum key or raise the cap explicitly"
+        )
+    return vals
+
+
 def hash_stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

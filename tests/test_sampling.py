@@ -86,3 +86,16 @@ def test_rate_threshold_bounds():
     assert rate_threshold(1.0) == 1 << 60
     with pytest.raises(ValueError):
         rate_threshold(1.5)
+
+
+def test_collect_strata_cardinality_cap(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.operators.sampling import collect_strata
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("s"))
+    with pytest.raises(ValueError, match="max_strata"):
+        collect_strata(df, "s", max_strata=10)
+    vals = collect_strata(df, "s", max_strata=200)
+    assert len(vals) == 100
