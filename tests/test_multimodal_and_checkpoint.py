@@ -57,8 +57,12 @@ def test_video_frame_sample(spark):
 
 
 def test_real_codec_hook_raises(spark):
-    with pytest.raises(NotImplementedError):
+    # a truncated PNG now reaches the real decoder and fails there
+    with pytest.raises(NotImplementedError, match="IHDR"):
         MM.decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+    # a genuinely unknown format falls through to the plug-point error
+    with pytest.raises(NotImplementedError, match="register"):
+        MM.decode_image_bytes(b"GIF89a......")
 
 
 def test_bmp_round_trip_through_spark(spark):
@@ -373,3 +377,63 @@ def test_png_through_spark(spark):
     small = MM.image_resize(df, 5, 4).collect()
     w, h, px2 = MM.decode_image_bytes(bytes(small[0]["image"]))
     assert (w, h) == (5, 4) and px2.shape == (4, 5)
+
+
+# --- JPEG (baseline, numpy-only) ---------------------------------------------
+
+def test_jpeg_gray_round_trip():
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    rng = np.random.default_rng(42)
+    grad = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 256).astype(
+        np.uint8
+    )
+    noise = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    for img in (grad, noise):
+        w, h, out = MM.decode_image_bytes(encode_jpeg_gray(img, quant=1))
+        assert (w, h) == (img.shape[1], img.shape[0])
+        # quant=1: error bounded by DCT float rounding
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_420_color_round_trip():
+    """Interleaved-MCU + chroma-subsampling decode path: 4:2:0 color with
+    known Y plane; decoder returns the luma within rounding."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_ycbcr420
+
+    rng = np.random.default_rng(9)
+    for hw in [(16, 16), (24, 40), (17, 23)]:  # exact + padded MCU grids
+        y = rng.integers(0, 256, size=hw, dtype=np.uint8)
+        ch, cw = (hw[0] + 1) // 2, (hw[1] + 1) // 2
+        cb = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+        cr = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+        w, h, out = MM.decode_image_bytes(encode_jpeg_ycbcr420(y, cb, cr))
+        assert (w, h) == (hw[1], hw[0])
+        assert np.abs(out.astype(int) - y.astype(int)).max() <= 2
+
+
+def test_jpeg_unsupported_progressive_raises():
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    data = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        MM.decode_image_bytes(bytes(data))
+
+
+def test_jpeg_through_spark(spark):
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(3):
+        px = rng.integers(0, 256, size=(8, 16), dtype=np.uint8)
+        rows.append((i, bytearray(encode_jpeg_gray(px)), px))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], "doc_id long, image binary"
+    )
+    feats = {r["doc_id"]: r for r in MM.image_features(df).collect()}
+    for i, _, px in rows:
+        assert (feats[i]["width"], feats[i]["height"]) == (16, 8)
+        assert abs(feats[i]["mean_luma"] - px.mean()) <= 2
