@@ -546,7 +546,9 @@ def run_scaling(sf_dir: str) -> None:
             + "On hardware that does scale linearly (a real multi-node\n"
             "cluster, one executor per node), the normalized number is the\n"
             "expected efficiency; the shuffle-free plan itself adds no\n"
-            "cross-executor traffic beyond the broadcast.\n"
+            "cross-executor traffic beyond the broadcast.\n\n"
+            "See BENCH/ADJUDICATIONS.md for per-round adjudications and\n"
+            "interpretation (hand-written; survives --scaling regeneration).\n"
         )
 
 

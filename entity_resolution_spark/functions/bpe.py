@@ -27,6 +27,7 @@ sample always yields byte-identical merge tables.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 _WORD_END = " "  # sentinel glued to each word's last symbol
@@ -137,7 +138,6 @@ def bpe_token_count(
     deployment.  Output is a pure function of the text: any partitioning
     yields identical counts.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ranks = {p: i for i, p in enumerate(merges)}

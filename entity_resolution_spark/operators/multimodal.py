@@ -338,16 +338,18 @@ def decode_image_bytes(data: bytes, extra=()) -> tuple[int, int, np.ndarray]:
         return _decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return _decode_pnm(data)
+    # registered codecs OVERRIDE the built-in compressed decoders: plugging
+    # Pillow/turbojpeg in replaces the correctness-first pure-python paths
+    for dec in extra or _EXTRA_DECODERS["image"]:
+        out = dec(data)
+        if out is not None:
+            return out
     if data[:8] == PNG_SIG:
         return _decode_png(data)
     if data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
-    for dec in extra or _EXTRA_DECODERS["image"]:
-        out = dec(data)
-        if out is not None:
-            return out
     raise NotImplementedError(
         "unrecognized image format; register a codec via "
         "multimodal.register_decoder('image', fn)"

@@ -234,8 +234,11 @@ def test_registered_codec_flows_end_to_end(spark):
         assert (a["sample_rate"], a["n_samples"]) == (8000, 2)
     finally:
         MM.clear_decoders()
-    # with the registry cleared, the same bytes raise the documented error
-    with pytest.raises(NotImplementedError, match="register_decoder"):
+    # with the registry cleared, the same bytes fall through to the REAL
+    # baseline JPEG decoder (they carry its magic), which rejects them as
+    # structurally invalid — the plug-point error is reserved for formats
+    # no built-in decoder claims
+    with pytest.raises(NotImplementedError, match="JPEG"):
         MM.decode_image_bytes(b"\xff\xd8" + bytes(range(6)))
 
 
