@@ -201,3 +201,71 @@ def test_klsh_lloyd_parallelism_invariant(spark):
     comps = {c for c, _ in results[0]}
     for c in comps:
         assert len({v for (cc, _), v in results[0].items() if cc == c}) > 1
+
+
+# --- codec properties (round 4) ---------------------------------------------
+
+_img_shapes = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@given(_img_shapes, st.integers(1, 4), st.randoms(use_true_random=False))
+@settings(max_examples=40, deadline=None)
+def test_png_round_trip_property(shape, nch, rnd):
+    from entity_resolution_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_png,
+        _luma,
+    )
+
+    h, w = shape
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    if nch == 1:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        want = px
+    else:
+        px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        if nch == 2:
+            want = px[:, :, 0]
+        else:
+            want = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+    w2, h2, got = decode_image_bytes(encode_png(px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(got, want)
+
+
+@given(_img_shapes, st.randoms(use_true_random=False))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_gray_round_trip_property(shape, rnd):
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    h, w = shape
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    w2, h2, got = decode_jpeg(encode_jpeg_gray(px, quant=1))
+    assert (w2, h2) == (w, h)
+    # quant=1 pipeline exact up to DCT float rounding
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+
+
+@given(st.lists(
+    st.text(alphabet="abcdef ", min_size=0, max_size=30), min_size=1,
+    max_size=8,
+))
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_join_invariant(texts):
+    """For ANY trained merge table, concatenating a text's tokens
+    reproduces its whitespace-normalized words + end sentinels — BPE only
+    regroups characters, never alters them."""
+    from entity_resolution_spark.functions.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(texts, n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for t in texts:
+        toks = bpe_encode(t, ranks)
+        want = "".join(w + " " for w in t.split())
+        assert "".join(toks) == want
+        # token count never exceeds character count of the normalized text
+        assert len(toks) <= max(len(want), 1)
