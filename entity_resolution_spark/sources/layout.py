@@ -100,3 +100,35 @@ def point_lookup(
         .where(F.col("url_bucket") == bucket)
         .where(F.col("url") == url)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    bucket_col: str = "url",
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-backed bucketed table (``bucketBy`` + ``sortBy``): the
+    shuffle-FREE join path the directory layout above only approximates.
+
+    Two tables written with the same ``(n_buckets, bucket_col)`` join on
+    ``bucket_col`` with NO Exchange on either side — Spark trusts the
+    bucket metadata and runs a co-located sort-merge join (asserted at the
+    plan level by tests/test_layout.py).  This is exactly what an Iceberg
+    ``bucket(N, url)`` partition transform buys on a real deployment; the
+    in-session catalog + parquet warehouse is the sandbox stand-in.
+
+    At 100 TB: every url-keyed stage (canonical-url compaction, URL dedup,
+    crawl diff, the blocking table's record side) re-shuffles the full
+    table once per join today — bucketed storage pays that shuffle ONCE at
+    write time and amortizes it over every downstream join/aggregation on
+    the same key.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
