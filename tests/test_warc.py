@@ -98,3 +98,37 @@ def test_read_warc_distributed(spark, tmp_path):
     assert all(r["source_file"].endswith(".warc.gz") for r in rows)
     # feeds the canonical pages shape downstream (extract expects url/html)
     assert {"url", "warc_ts", "html"} <= set(df.columns)
+
+
+def test_warc_to_resolution_end_to_end(spark, tmp_path):
+    """Crawl bytes → pages → full ER pipeline: write the synthetic corpus
+    AS WARC segments, read them back with the connector, and resolve —
+    F1 = 1.0 against the planted truth, proving the connector produces the
+    exact pages shape the pipeline contract expects."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution_spark.plans import pipeline
+    from entity_resolution_spark.sources.synthetic import make_pages
+
+    corpus = make_pages(n_entities=30)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # shard the corpus across 3 WARC segments like a real crawl
+    pdf = corpus.pages
+    for f in range(3):
+        part = pdf.iloc[f::3]
+        write_warc(
+            [
+                (r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                 bytes(r.html))
+                for r in part.itertuples()
+            ],
+            str(d / f"seg{f}.warc.gz"),
+        )
+
+    pages = read_warc(spark, str(d))
+    truth = spark.createDataFrame(corpus.truth)
+    m = pipeline.evaluate_against_truth(
+        pipeline.resolve(pages), truth
+    ).collect()[0]
+    assert m["f1"] == 1.0, m
