@@ -373,6 +373,76 @@ def decode_audio_bytes(data: bytes, extra=()) -> tuple[int, np.ndarray]:
     )
 
 
+def encode_avi_mjpeg(frames_jpeg: list[bytes], width: int, height: int,
+                     fps: int = 25) -> bytes:
+    """Minimal RIFF/AVI container holding MJPEG frames (one '00dc' chunk
+    per pre-encoded JPEG).  Fixture counterpart of the AVI branch in
+    :func:`decode_video_bytes`; headers carry just what the decoder and
+    common players need (avih + strh/strf with MJPG fourcc)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames_jpeg)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, n, 0, 0, 0, 0)
+    )
+    # BITMAPINFOHEADER with biCompression = 'MJPG' at byte offset 16
+    strf = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"MJPG" + \
+        struct.pack("<IiiII", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames_jpeg))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_avi_mjpeg(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """RIFF/AVI chunk walk: decode every '00dc'/'01dc' MJPEG frame with the
+    baseline JPEG decoder.  Non-MJPEG AVI (raw DIB, other fourccs) and
+    frames our JPEG baseline can't handle raise ``NotImplementedError``."""
+    from .jpeg import decode_jpeg
+
+    if data[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI file")
+    frames: list[np.ndarray] = []
+    w = h = None
+
+    def walk(pos: int, end: int):
+        nonlocal w, h
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif tag[2:4] == b"dc":
+                frame = data[body_start : body_start + size]
+                if frame[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "AVI stream is not MJPEG; plug ffmpeg via "
+                        "register_decoder('video', fn)"
+                    )
+                fw, fh, px = decode_jpeg(frame)
+                w, h = fw, fh
+                frames.append(px)
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if not frames:
+        raise NotImplementedError("AVI contains no video frames")
+    return w, h, frames
+
+
 def decode_video_bytes(data: bytes, extra=()) -> tuple[int, int, list[np.ndarray]]:
     if data[:4] == b"VID1":
         w, h, n = struct.unpack("<III", data[4:16])
@@ -382,13 +452,17 @@ def decode_video_bytes(data: bytes, extra=()) -> tuple[int, int, list[np.ndarray
             frames.append(np.frombuffer(data[off : off + w * h], dtype=np.uint8).reshape(h, w))
             off += w * h
         return w, h, frames
+    # registered codecs override the built-in container parsers (same
+    # contract as images: plugging ffmpeg in replaces the pure-python path)
     for dec in extra or _EXTRA_DECODERS["video"]:
         out = dec(data)
         if out is not None:
             return out
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return _decode_avi_mjpeg(data)
     raise NotImplementedError(
-        "real video codecs not available in this container; "
-        "register one via multimodal.register_decoder('video', fn)"
+        "unrecognized video container; register a codec via "
+        "multimodal.register_decoder('video', fn)"
     )
 
 

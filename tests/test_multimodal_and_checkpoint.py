@@ -440,3 +440,38 @@ def test_jpeg_through_spark(spark):
     for i, _, px in rows:
         assert (feats[i]["width"], feats[i]["height"]) == (16, 8)
         assert abs(feats[i]["mean_luma"] - px.mean()) <= 2
+
+
+def test_avi_mjpeg_round_trip_and_frame_sample(spark):
+    """Real video container: MJPEG-in-AVI through decode + the Spark
+    frame-sampling operator."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+              for _ in range(6)]
+    avi = MM.encode_avi_mjpeg([encode_jpeg_gray(f) for f in frames], 24, 16)
+
+    w, h, got = MM.decode_video_bytes(avi)
+    assert (w, h, len(got)) == (24, 16, 6)
+    for g, f in zip(got, frames):
+        assert np.abs(g.astype(int) - f.astype(int)).max() <= 2
+
+    df = spark.createDataFrame(
+        [(3, bytearray(avi))], "doc_id long, video binary"
+    )
+    sampled = MM.video_frame_sample(df, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2, 4]
+    _, _, px = MM.decode_image_bytes(
+        bytes(sorted(sampled, key=lambda r: r["frame_idx"])[1]["frame"])
+    )
+    assert np.abs(px.astype(int) - frames[2].astype(int)).max() <= 2
+
+    # non-MJPEG AVI and unknown containers fail with the documented errors
+    raw_dib_avi = bytearray(avi)
+    i = raw_dib_avi.find(b"00dc")
+    raw_dib_avi[i + 8 : i + 10] = b"XX"  # corrupt the JPEG magic
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        MM.decode_video_bytes(bytes(raw_dib_avi))
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        MM.decode_video_bytes(b"RIFF\x04\x00\x00\x00WAVE")
