@@ -9,13 +9,16 @@ codec step is pluggable:
 * a **deterministic synthetic codec** (``IMG1``/``AUD1``/``VID1`` headers,
   raw payload) used by tests and fixtures,
 * **dependency-free real codecs**: PNG (8-bit gray/RGB/RGBA/palette —
-  stdlib zlib inflate + scanline unfiltering incl. Paeth), uncompressed BMP
-  (8-bit palette and 24-bit BGR), binary PGM (P5) / PPM (P6), and RIFF/WAVE
-  PCM-16 audio — parsed with ``zlib``/``struct``/``numpy`` only, and
+  stdlib zlib inflate + scanline unfiltering incl. Paeth), baseline JPEG
+  (operators/jpeg.py), GIF87a/89a (operators/gif.py — LZW + interlace),
+  uncompressed BMP (8-bit palette and 24-bit BGR), binary PGM (P5) /
+  PPM (P6), RIFF/WAVE PCM-16 audio, and MJPEG-in-AVI video — parsed with
+  ``zlib``/``struct``/``numpy`` only, and
 * a clearly-marked hook that raises ``NotImplementedError`` for the
-  remaining compressed formats (JPEG/MP3/MP4) — those codecs are not in
-  this container; on a real cluster you plug Pillow/ffmpeg into
-  ``decode_image_bytes`` etc. without touching any Spark code.
+  remaining formats (webp/avif, MP3/AAC, MP4/H.264 — genuinely
+  codec-library territory); on a real cluster you plug Pillow/ffmpeg via
+  ``register_decoder`` WITHOUT touching any Spark code, and registered
+  decoders override the built-in pure-python paths.
 """
 
 from __future__ import annotations
@@ -350,6 +353,10 @@ def decode_image_bytes(data: bytes, extra=()) -> tuple[int, int, np.ndarray]:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise NotImplementedError(
         "unrecognized image format; register a codec via "
         "multimodal.register_decoder('image', fn)"

@@ -60,9 +60,12 @@ def test_real_codec_hook_raises(spark):
     # a truncated PNG now reaches the real decoder and fails there
     with pytest.raises(NotImplementedError, match="IHDR"):
         MM.decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+    # a truncated GIF reaches the real GIF decoder (magic matches)
+    with pytest.raises(NotImplementedError, match="GIF"):
+        MM.decode_image_bytes(b"GIF89a......")
     # a genuinely unknown format falls through to the plug-point error
     with pytest.raises(NotImplementedError, match="register"):
-        MM.decode_image_bytes(b"GIF89a......")
+        MM.decode_image_bytes(b"II*\x00 not a real tiff")
 
 
 def test_bmp_round_trip_through_spark(spark):
@@ -475,3 +478,53 @@ def test_avi_mjpeg_round_trip_and_frame_sample(spark):
         MM.decode_video_bytes(bytes(raw_dib_avi))
     with pytest.raises(NotImplementedError, match="register_decoder"):
         MM.decode_video_bytes(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_gif_round_trip_and_spark_path(spark):
+    from entity_resolution_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    # identity gray palette => exact round trip
+    w, h, out = MM.decode_image_bytes(encode_gif(px))
+    assert (w, h) == (40, 24) and np.array_equal(out, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(px)))], "doc_id long, image binary"
+    )
+    r = MM.image_features(df).collect()[0]
+    assert (r["width"], r["height"]) == (40, 24)
+    assert abs(r["mean_luma"] - px.mean()) < 1e-9
+
+
+def test_gif_interlaced_and_color_palette():
+    import struct
+
+    from entity_resolution_spark.operators import gif as G
+
+    rng = np.random.default_rng(8)
+    # color palette: luma collapse must match the shared Rec.601 helper
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 6), dtype=np.uint8)
+    h, w = idx.shape
+    # hand-build: global 16-color palette (flags size field = 3 -> 2<<3=16)
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)
+    # interlaced descriptor: rows stored in interlace pass order
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = idx[order]
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    lzw = G._lzw_encode(stored.tobytes(), 4)
+    blocks = bytearray([4])
+    for i in range(0, len(lzw), 255):
+        c = lzw[i : i + 255]
+        blocks += bytes([len(c)]) + c
+    blocks += b"\x00"
+    # plus a leading extension block (comment) the parser must skip
+    ext = b"\x21\xFE\x05hello\x00"
+    data = head + pal.tobytes() + ext + desc + bytes(blocks) + b"\x3B"
+    w2, h2, out = G.decode_gif(data)
+    rgb = pal[idx]
+    want = MM._luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    assert (w2, h2) == (w, h) and np.array_equal(out, want)
