@@ -457,31 +457,34 @@ def _pad_to(img: np.ndarray, H: int, W: int) -> np.ndarray:
     return out
 
 
-def encode_jpeg_ycbcr420(
-    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, quant: int = 1
+def encode_jpeg_ycbcr(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, quant: int = 1,
+    hs: int = 2, vs: int = 2,
 ) -> bytes:
-    """Baseline 4:2:0 color JPEG (Y at full res with 2×2 sampling, Cb/Cr at
-    half res).  ``cb``/``cr`` must be ``ceil(h/2) × ceil(w/2)``.  Exercises
-    the interleaved-MCU + upsampling decode path; same near-lossless
-    quant=1 default as the grayscale encoder."""
+    """Baseline color JPEG at sampling ``hs``×``vs`` (Y at full res, Cb/Cr
+    at 1/hs × 1/vs): (2,2) = 4:2:0, (2,1) = 4:2:2, (1,1) = 4:4:4.
+    ``cb``/``cr`` must be ``ceil(h/vs) × ceil(w/hs)``.  Exercises every
+    interleaved-MCU + upsampling decode layout; same near-lossless quant=1
+    default as the grayscale encoder."""
     h, w = y.shape
-    ch, cw = (h + 1) // 2, (w + 1) // 2
+    ch, cw = (h + vs - 1) // vs, (w + hs - 1) // hs
     if cb.shape != (ch, cw) or cr.shape != (ch, cw):
         raise ValueError(f"chroma planes must be {(ch, cw)}")
     q = np.full(64, quant, dtype=np.uint8)
     dc_enc = _encode_huffman_spec(*_STD_DC_LUMA)
     ac_enc = _encode_huffman_spec(*_STD_AC_LUMA)
-    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
-    Y = _pad_to(y, mcuy * 16, mcux * 16)
+    mw, mh = 8 * hs, 8 * vs  # MCU pixel size
+    mcux, mcuy = (w + mw - 1) // mw, (h + mh - 1) // mh
+    Y = _pad_to(y, mcuy * mh, mcux * mw)
     CB = _pad_to(cb, mcuy * 8, mcux * 8)
     CR = _pad_to(cr, mcuy * 8, mcux * 8)
     bw = _BitWriter()
     pred = [0, 0, 0]
     for my in range(mcuy):
         for mx in range(mcux):
-            for by in range(2):
-                for bx in range(2):
-                    y0, x0 = (my * 2 + by) * 8, (mx * 2 + bx) * 8
+            for by in range(vs):
+                for bx in range(hs):
+                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
                     pred[0] = _encode_block(
                         bw, Y[y0 : y0 + 8, x0 : x0 + 8], q, pred[0],
                         dc_enc, ac_enc,
@@ -503,7 +506,7 @@ def encode_jpeg_ycbcr420(
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x22, 0])   # Y: 2x2 sampling
+        + bytes([1, (hs << 4) | vs, 0])   # Y sampling factors
         + bytes([2, 0x11, 0])   # Cb
         + bytes([3, 0x11, 0]),  # Cr
     )
@@ -515,3 +518,10 @@ def encode_jpeg_ycbcr420(
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def encode_jpeg_ycbcr420(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, quant: int = 1
+) -> bytes:
+    """Back-compat alias: 4:2:0 via :func:`encode_jpeg_ycbcr`."""
+    return encode_jpeg_ycbcr(y, cb, cr, quant=quant, hs=2, vs=2)

@@ -528,3 +528,23 @@ def test_gif_interlaced_and_color_palette():
     rgb = pal[idx]
     want = MM._luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
     assert (w2, h2) == (w, h) and np.array_equal(out, want)
+
+
+def test_jpeg_422_and_444_round_trip():
+    """The remaining subsampling layouts the decoder claims: 4:2:2
+    (horizontal-only chroma subsampling) and 4:4:4 (none)."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_ycbcr
+
+    rng = np.random.default_rng(12)
+    for hs, vs in [(2, 1), (1, 1)]:
+        for hw in [(16, 16), (13, 22)]:
+            y = rng.integers(0, 256, size=hw, dtype=np.uint8)
+            ch = (hw[0] + vs - 1) // vs
+            cw = (hw[1] + hs - 1) // hs
+            cb = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+            cr = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+            w, h, out = MM.decode_image_bytes(
+                encode_jpeg_ycbcr(y, cb, cr, hs=hs, vs=vs)
+            )
+            assert (w, h) == (hw[1], hw[0]), (hs, vs, hw)
+            assert np.abs(out.astype(int) - y.astype(int)).max() <= 2

@@ -269,3 +269,16 @@ def test_bpe_encode_join_invariant(texts):
         assert "".join(toks) == want
         # token count never exceeds character count of the normalized text
         assert len(toks) <= max(len(want), 1)
+
+
+@given(_img_shapes, st.randoms(use_true_random=False))
+@settings(max_examples=30, deadline=None)
+def test_gif_round_trip_property(shape, rnd):
+    from entity_resolution_spark.operators.gif import decode_gif, encode_gif
+
+    h, w = shape
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    w2, h2, got = decode_gif(encode_gif(px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(got, px)  # identity gray palette ⇒ exact
