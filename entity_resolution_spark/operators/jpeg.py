@@ -350,10 +350,14 @@ def _magnitude(v: int) -> tuple[int, int]:
     return n, v if v > 0 else v + (1 << n) - 1
 
 
-def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1) -> bytes:
+def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1,
+                     restart_interval: int = 0) -> bytes:
     """Minimal baseline grayscale JPEG (SOF0, standard Huffman tables,
     uniform quantization = ``quant``).  quant=1 is near-lossless (DCT float
-    rounding only) — the round-trip fixture for :func:`decode_jpeg`."""
+    rounding only) — the round-trip fixture for :func:`decode_jpeg`.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictor reset) — exercises the
+    decoder's restart resync path."""
     h, w = pixels.shape
     q = np.full(64, quant, dtype=np.uint8)
     dc_enc = _encode_huffman_spec(*_STD_DC_LUMA)
@@ -367,8 +371,16 @@ def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1) -> bytes:
     img[:, w:] = img[:, w - 1 : w]
     bw = _BitWriter()
     pred = 0
+    mcu_i = 0
+    rst_n = 0
     for y0 in range(0, H, 8):
         for x0 in range(0, W, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()  # byte-align before the marker
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                pred = 0
+            mcu_i += 1
             blk = img[y0 : y0 + 8, x0 : x0 + 8] - 128.0
             F_blk = _M @ blk @ _M.T
             zz = np.round(F_blk.reshape(64)[ZIGZAG] / q).astype(int)
@@ -412,8 +424,13 @@ def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1) -> bytes:
               + bytes(_STD_AC_LUMA[1]))
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(bw.out)
+        + b"\xff\xd9"
     )
 
 

@@ -548,3 +548,20 @@ def test_jpeg_422_and_444_round_trip():
             )
             assert (w, h) == (hw[1], hw[0]), (hs, vs, hw)
             assert np.abs(out.astype(int) - y.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers_round_trip():
+    """DRI + RSTn resync path: byte-aligned markers, DC predictor reset."""
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    for hw, ri in [((24, 40), 2), ((32, 32), 3), ((17, 23), 1)]:
+        px = rng.integers(0, 256, size=hw, dtype=np.uint8)
+        data = encode_jpeg_gray(px, quant=1, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        w, h, out = decode_jpeg(data)
+        assert (w, h) == (hw[1], hw[0])
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
