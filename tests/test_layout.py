@@ -131,3 +131,31 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS pages_a")
         spark.sql("DROP TABLE IF EXISTS pages_b")
+
+
+def test_layout_pages_feed_the_pipeline(spark, tmp_path):
+    """Pages written in the partitioned layout feed the full resolution
+    pipeline unchanged (the partition columns ride along harmlessly), and
+    a day-filtered incremental run prunes at the scan."""
+    from entity_resolution_spark.plans import pipeline
+    from entity_resolution_spark.sources.synthetic import make_pages
+
+    corpus = make_pages(n_entities=25)
+    src = spark.createDataFrame(corpus.pages)
+    root = str(tmp_path / "pages_pipe")
+    write_pages_layout(src, root, n_buckets=N_BUCKETS)
+
+    pages = read_pages_layout(spark, root)
+    truth = spark.createDataFrame(corpus.truth)
+    m = pipeline.evaluate_against_truth(
+        pipeline.resolve(pages), truth
+    ).collect()[0]
+    assert m["f1"] == 1.0, m
+
+    # incremental-day shape: filter on the partition column prunes files
+    some_day = pages.select("crawl_day").limit(1).collect()[0][0]
+    daily = pages.where(F.col("crawl_day") == some_day)
+    plan = _plan(daily)
+    m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m2 and "crawl_day" in m2.group(1), plan
+    assert daily.count() > 0
