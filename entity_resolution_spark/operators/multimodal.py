@@ -532,6 +532,66 @@ def audio_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio"
     return df.select(id_col, bin_col).mapInPandas(run, AUDIO_META_SCHEMA)
 
 
+SPECTRAL_SCHEMA = (
+    "doc_id long, dominant_hz double, spectral_centroid_hz double, "
+    "spectral_rolloff_hz double, zero_crossing_rate double"
+)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "audio",
+    frame: int = 512,
+    hop: int = 256,
+) -> DataFrame:
+    """Spectral descriptors per audio doc — numpy FFT, Arrow-batched.
+
+    Hann-windowed frames → magnitude spectra averaged over the clip, then
+    dominant frequency (argmax bin), spectral centroid, 85% rolloff, and
+    zero-crossing rate.  All deterministic functions of the PCM, so any
+    partitioning yields identical rows; per-task memory is one clip's
+    frame matrix (bounded by clip length, the same bound as decode)."""
+    extra = tuple(_EXTRA_DECODERS["audio"])
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame)
+        for pdf in batches:
+            out = []
+            for rid, data in zip(pdf[id_col], pdf[bin_col]):
+                sr, pcm = decode_audio_bytes(bytes(data), extra)
+                x = pcm.astype(np.float64)
+                if len(x) < frame or sr == 0:
+                    out.append((rid, 0.0, 0.0, 0.0, 0.0))
+                    continue
+                n_frames = 1 + (len(x) - frame) // hop
+                idx = (
+                    np.arange(frame)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                mag = np.abs(np.fft.rfft(x[idx] * win, axis=1)).mean(axis=0)
+                freqs = np.fft.rfftfreq(frame, d=1.0 / sr)
+                total = mag.sum()
+                if total <= 0:
+                    out.append((rid, 0.0, 0.0, 0.0, 0.0))
+                    continue
+                dominant = float(freqs[int(np.argmax(mag))])
+                centroid = float((freqs * mag).sum() / total)
+                cum = np.cumsum(mag)
+                rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+                out.append((rid, dominant, centroid, rolloff, zcr))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "dominant_hz", "spectral_centroid_hz",
+                    "spectral_rolloff_hz", "zero_crossing_rate",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, SPECTRAL_SCHEMA)
+
+
 def video_frame_sample(
     df: DataFrame, every_n: int = 2, id_col: str = "doc_id", bin_col: str = "video"
 ) -> DataFrame:

@@ -565,3 +565,28 @@ def test_jpeg_restart_markers_round_trip():
         w, h, out = decode_jpeg(data)
         assert (w, h) == (hw[1], hw[0])
         assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_audio_spectral_features(spark):
+    """A pure 440 Hz sine: dominant bin and centroid land on the tone;
+    zero-crossing rate matches 2f/sr; a 4 kHz tone separates cleanly."""
+    sr = 16000
+    t = np.arange(sr)  # 1 second
+    rows = []
+    for i, f0 in [(1, 440.0), (2, 4000.0)]:
+        wave = (np.sin(2 * np.pi * f0 * t / sr) * 12000).astype(np.int16)
+        rows.append((i, bytearray(MM.encode_wav(sr, wave))))
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    feats = {r["doc_id"]: r for r in MM.audio_spectral_features(df).collect()}
+    bin_hz = sr / 512  # frame=512 -> 31.25 Hz resolution
+    for i, f0 in [(1, 440.0), (2, 4000.0)]:
+        r = feats[i]
+        assert abs(r["dominant_hz"] - f0) <= bin_hz, (f0, r)
+        # windowing leaks energy into neighbors; centroid within a few bins
+        assert abs(r["spectral_centroid_hz"] - f0) <= 4 * bin_hz, (f0, r)
+        assert abs(r["zero_crossing_rate"] - 2 * f0 / sr) < 0.01, (f0, r)
+        assert r["spectral_rolloff_hz"] >= r["dominant_hz"] - bin_hz
+    # partition invariance
+    a = sorted(map(tuple, MM.audio_spectral_features(df).collect()))
+    b = sorted(map(tuple, MM.audio_spectral_features(df.repartition(5)).collect()))
+    assert a == b
