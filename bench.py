@@ -21,6 +21,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# per-query warm-up scale (r04 protocol); falls back to SF_DIR when the
+# small fixture is absent so the warm-up never silently disappears
+WARM_SF_DIR = (
+    "/root/testdata/sf0.001"
+    if os.path.isdir("/root/testdata/sf0.001")
+    else SF_DIR
+)
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 HEADLINE = [
@@ -117,7 +124,7 @@ def run_default() -> None:
                       shuffle_partitions=2 * CPUS)
     qs = M.queries()
     # warm the JVM/Arrow paths once on the smallest sf
-    qs["blocking_keys"](spark, "/root/testdata/sf0.001").count()
+    qs["blocking_keys"](spark, WARM_SF_DIR).count()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -127,9 +134,12 @@ def run_default() -> None:
         # killing the per-position JIT lottery that produced spurious
         # regression flags in r02/r03 (adjudications in BENCH/BASELINE.md)
         try:
-            _force(qs[name](spark, "/root/testdata/sf0.001"))
+            _force(qs[name](spark, WARM_SF_DIR))
         except Exception:
-            pass  # a warm-up failure surfaces in the timed rep
+            # surfaces in the timed rep too, but warn so a missing warm-up
+            # dir can't silently revert the protocol to cold-JIT timings
+            print(f"WARN: warm-up for {name} failed ({WARM_SF_DIR})",
+                  file=sys.stderr)
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         dt = round(time.perf_counter() - t0, 3)

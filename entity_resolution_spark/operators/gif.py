@@ -50,6 +50,8 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
             if code == eoi:
                 return bytes(out)
             if prev is None:
+                if code not in table:
+                    raise NotImplementedError("corrupt GIF LZW stream")
                 entry = table[code]
             elif code in table:
                 entry = table[code]

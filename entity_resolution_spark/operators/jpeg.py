@@ -108,6 +108,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        if self.pos >= len(self.data) - 1:
+            raise NotImplementedError("truncated JPEG entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -138,11 +140,12 @@ class _BitReader:
         """Skip to just past the next RSTn marker, drop partial bits."""
         self.bitbuf = 0
         self.nbits = 0
-        while True:
+        while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return
             self.pos += 1
+        raise NotImplementedError("truncated JPEG entropy data (missing RSTn)")
 
 
 class _RestartMarker(Exception):
@@ -183,7 +186,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise NotImplementedError("truncated JPEG (segment header cut)")
         seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        if pos + seg_len > len(data):
+            raise NotImplementedError("truncated JPEG (segment body cut)")
         body = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -237,6 +244,42 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    br = _BitReader(data, pos)
+
+    if len(scan) == 1:
+        # Non-interleaved scan (T.81 A.2.2): MCU = ONE data unit of the
+        # scanned component, raster order over the component's own block
+        # grid, sampling factors ignored.  This is how real grayscale
+        # files that declare 2x2 sampling arrive, and how each scan of a
+        # three-scan baseline color file is laid out.  We return after the
+        # first scan, which is the Y plane — exactly the luma output.
+        (cid,) = scan
+        c = next(cc for cc in comps if cc["id"] == cid)
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        bxn, byn = (cw + 7) // 8, (chh + 7) // 8
+        plane = np.zeros((byn * 8, bxn * 8), dtype=np.float64)
+        dc_t = huff[(0, scan[cid][0])]
+        ac_t = huff[(1, scan[cid][1])]
+        q = qt[c["q"]]
+        pred = [0]
+        mcu_count = 0
+        for by in range(byn):
+            for bx in range(bxn):
+                if (restart_interval and mcu_count
+                        and mcu_count % restart_interval == 0):
+                    br.sync_to_restart()
+                    pred = [0]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _decode_block(br, dc_t, ac_t, q, pred, 0)
+                )
+                mcu_count += 1
+        y = plane[:chh, :cw]
+        if (cw, chh) != (w, h):  # subsampled component → replicate up
+            y = np.repeat(np.repeat(y, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)[:h, :w]
+        return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8)
+
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = []
@@ -244,7 +287,6 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
         planes.append(
             np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
         )
-    br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
     for my in range(mcuy):
@@ -267,20 +309,12 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
                 # encoder emitted RSTn exactly here; resync handled above
                 raise NotImplementedError("unexpected restart marker")
             mcu_count += 1
-    # upsample to full resolution (sample replication) and crop
-    full = []
-    for c, p in zip(comps, planes):
-        fy, fx = vmax // c["v"], hmax // c["h"]
-        if fy > 1 or fx > 1:
-            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
-        full.append(p[:h, :w])
-    if len(comps) == 1:
-        y = full[0]
-    else:
-        y_, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-        # we only need luma downstream; Y of YCbCr IS the luma plane
-        y = y_
-        del cb, cr
+    # we only need luma downstream; Y of YCbCr IS the luma plane
+    y = planes[0]
+    fy, fx = vmax // comps[0]["v"], hmax // comps[0]["h"]
+    if fy > 1 or fx > 1:
+        y = np.repeat(np.repeat(y, fy, axis=0), fx, axis=1)
+    y = y[:h, :w]
     return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8)
 
 
@@ -362,15 +396,11 @@ def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1,
     q = np.full(64, quant, dtype=np.uint8)
     dc_enc = _encode_huffman_spec(*_STD_DC_LUMA)
     ac_enc = _encode_huffman_spec(*_STD_AC_LUMA)
-    # pad to 8x8 blocks by edge replication
     H = (h + 7) // 8 * 8
     W = (w + 7) // 8 * 8
-    img = np.empty((H, W), dtype=np.float64)
-    img[:h, :w] = pixels.astype(np.float64)
-    img[h:, :w] = img[h - 1 : h, :w]
-    img[:, w:] = img[:, w - 1 : w]
+    img = _pad_to(pixels, H, W)
     bw = _BitWriter()
-    pred = 0
+    pred = [0]
     mcu_i = 0
     rst_n = 0
     for y0 in range(0, H, 8):
@@ -379,37 +409,11 @@ def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1,
                 bw.flush()  # byte-align before the marker
                 bw.out += bytes([0xFF, 0xD0 + rst_n])
                 rst_n = (rst_n + 1) % 8
-                pred = 0
+                pred = [0]
             mcu_i += 1
-            blk = img[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-            F_blk = _M @ blk @ _M.T
-            zz = np.round(F_blk.reshape(64)[ZIGZAG] / q).astype(int)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            sz, bits = _magnitude(diff)
-            code, ln = dc_enc[sz]
-            bw.write(code, ln)
-            if sz:
-                bw.write(bits, sz)
-            run = 0
-            last_nz = max(np.nonzero(zz)[0]) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_enc[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                sz, bits = _magnitude(v)
-                code, ln = ac_enc[(run << 4) | sz]
-                bw.write(code, ln)
-                bw.write(bits, sz)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_enc[0x00]  # EOB
-                bw.write(code, ln)
+            pred[0] = _encode_block(
+                bw, img[y0 : y0 + 8, x0 : x0 + 8], q, pred[0], dc_enc, ac_enc
+            )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:

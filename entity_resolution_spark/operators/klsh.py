@@ -230,6 +230,17 @@ def klsh_sweep(
             run_component, KLSH_SCHEMA
         )
     sizes = records.groupBy(component_col).agg(F.count("*").alias("_n"))
+    # One cheap existence probe BEFORE building the fallback: klsh_lloyd
+    # eagerly localCheckpoints its seeding + every iteration at plan-
+    # CONSTRUCTION time, so wiring it in unconditionally would run ~7
+    # Spark jobs over an empty `big` side on every ordinary call.
+    has_big = (
+        sizes.where(F.col("_n") > max_component_rows).limit(1).count() > 0
+    )
+    if not has_big:
+        return records.groupBy(component_col).applyInPandas(
+            run_component, KLSH_SCHEMA
+        )
     tagged = records.join(sizes, component_col)
     small = tagged.where(F.col("_n") <= max_component_rows).drop("_n")
     big = tagged.where(F.col("_n") > max_component_rows).drop("_n")

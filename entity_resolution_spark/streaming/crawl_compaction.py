@@ -45,14 +45,24 @@ class StreamingCrawlCompactor:
         os.makedirs(state_dir, exist_ok=True)
         self._pointer = os.path.join(state_dir, "CURRENT")
 
-    def _current_version(self) -> str | None:
-        """Name of the live versioned state dir, or None before batch 0."""
+    def _pointer_state(self) -> tuple[str | None, int]:
+        """(live versioned dir name, last applied batch id) from the
+        pointer file; (None, -1) before batch 0."""
         try:
             with open(self._pointer) as fh:
-                name = fh.read().strip()
+                content = fh.read().strip()
         except FileNotFoundError:
-            return None
-        return name or None
+            return None, -1
+        if not content:
+            return None, -1
+        name, _, bid = content.partition(" ")
+        try:
+            return name, int(bid)
+        except ValueError:  # pre-round-4 pointer without a batch id
+            return name, -1
+
+    def _current_version(self) -> str | None:
+        return self._pointer_state()[0]
 
     def state(self) -> DataFrame | None:
         name = self._current_version()
@@ -61,6 +71,16 @@ class StreamingCrawlCompactor:
         return self.spark.read.parquet(os.path.join(self.state_dir, name))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # Idempotent replay: foreachBatch re-delivers a batch when the
+        # stream crashed AFTER our pointer flip but BEFORE the streaming
+        # offset commit.  The pointer records the last applied batch id, so
+        # the replay is a no-op — without this, re-folding the batch onto
+        # the post-batch state would double-count n_versions, and writing
+        # state_v{batch_id} again would self-overwrite the directory the
+        # lazily-read state() DataFrame is scanning.
+        prev, last_applied = self._pointer_state()
+        if batch_id <= last_applied:
+            return
         snaps = batch.select(
             canonical_url(F.col("url")).alias("canonical_url"),
             F.col("warc_ts"),
@@ -110,12 +130,13 @@ class StreamingCrawlCompactor:
         # rename of a file onto an existing file is atomic).  Only after
         # the pointer is durable do we delete superseded versions — a
         # crash at ANY line leaves CURRENT naming a complete directory.
-        prev = self._current_version()
         vname = f"state_v{batch_id}"
+        if vname == prev:  # orphan of a half-applied attempt (paranoia)
+            vname = f"state_v{batch_id}_retry"
         new.write.mode("overwrite").parquet(os.path.join(self.state_dir, vname))
         ptmp = self._pointer + ".tmp"
         with open(ptmp, "w") as fh:
-            fh.write(vname)
+            fh.write(f"{vname} {batch_id}")
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(ptmp, self._pointer)

@@ -145,7 +145,8 @@ def test_state_swap_is_crash_atomic(spark, tmp_path):
     c.process_batch(_batch_df(spark, _rows(40)[20:]), 1)
     assert _snapshot(c) == _batch_result(spark, _rows(40))
     # superseded version was cleaned up; CURRENT names an existing dir
-    cur = (sd / "CURRENT").read_text().strip()
+    # (pointer format: "<dirname> <last_applied_batch_id>")
+    cur = (sd / "CURRENT").read_text().split()[0]
     assert (sd / cur).exists()
     assert not (sd / "state_v0").exists()
 
@@ -155,3 +156,24 @@ def _snapshot(c):
         r["canonical_url"]: (r["n_versions"], r["latest_ts"], r["keep_doc_id"])
         for r in c.state().collect()
     }
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers a batch when the crash lands between our
+    pointer flip and the streaming offset commit: the replay must be a
+    no-op (no n_versions double-count, no self-overwrite of the live
+    state dir)."""
+    rows = _rows(20)
+    c = StreamingCrawlCompactor(spark, str(tmp_path / "state_replay"))
+    c.process_batch(_batch_df(spark, rows), 0)
+    c.process_batch(_batch_df(spark, rows[:10]), 1)
+    after = _snapshot(c)
+    # replay batch 1 (same id, even different content) — skipped entirely
+    c.process_batch(_batch_df(spark, rows[:10]), 1)
+    c.process_batch(_batch_df(spark, rows), 0)
+    assert _snapshot(c) == after
+    # a genuinely new batch still applies
+    c.process_batch(_batch_df(spark, _rows(40)[20:]), 2)
+    assert _snapshot(c) == _batch_result(
+        spark, rows + rows[:10] + _rows(40)[20:]
+    )

@@ -590,3 +590,42 @@ def test_audio_spectral_features(spark):
     a = sorted(map(tuple, MM.audio_spectral_features(df).collect()))
     b = sorted(map(tuple, MM.audio_spectral_features(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_jpeg_non_interleaved_single_component_scan():
+    """T.81 A.2.2: a single-component scan is NON-interleaved (sampling
+    factors ignored, one block per MCU, raster order) — real grayscale
+    crawl JPEGs declare 2x2 sampling with an ns=1 scan."""
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(px))
+    i = data.find(b"\xff\xc0")
+    samp_off = i + 11  # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1)
+    assert data[samp_off] == 0x11
+    data[samp_off] = 0x22  # declare 2x2 sampling; entropy data unchanged
+    w, h, out = decode_jpeg(bytes(data))
+    assert (w, h) == (40, 24)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_jpeg_truncation_raises_codec_error_everywhere():
+    """Truncated crawl bytes raise the codec's NotImplementedError at any
+    cut point — never a bare IndexError that obscures the cause."""
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    base = encode_jpeg_gray(
+        np.tile(np.arange(64, dtype=np.uint8).reshape(8, 8), (4, 4))
+    )
+    for cut in range(4, len(base), 5):
+        try:
+            decode_jpeg(base[:cut])
+        except NotImplementedError:
+            pass  # the documented corrupt/truncated-input signal
