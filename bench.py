@@ -86,6 +86,7 @@ HEADLINE = [
     "lm_cross_entropy",
     "boilerplate_strip",
     "prepared_corpus",
+    "top_tokens",
 ]
 
 

@@ -272,6 +272,28 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:  # text analysi
     )
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global heavy hitters: the 50 most frequent whitespace tokens with a
+    deterministic (count desc, token asc) tie order — the corpus-wide
+    vocabulary/stopword-derivation step of a training pipeline (CCNet
+    derives its stopword and LM vocab lists exactly this way).
+
+    Scale shape: one map-side-combinable hash aggregate over the exploded
+    token stream (partial counts collapse before the shuffle, so shuffled
+    volume is the DISTINCT vocab, not the token stream), then a 50-row
+    TakeOrdered — no global sort of the vocabulary."""
+    d = _doc(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:  # E4 window top-k
     d = _doc(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -1316,6 +1338,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_candidates": q_minhash_band_candidates,
         "text_stats": q_text_stats,
+        "top_tokens": q_top_tokens,
         "topk_per_group": q_topk_per_group,
         "date_keys": q_date_keys,
         "windowed_event_counts": q_windowed_event_counts,
@@ -2526,6 +2549,17 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(len(list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '')), 1),
                      6) AS stopword_ratio
             FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+        """,
+        "top_tokens": """
+            SELECT token, count(*)::bigint AS n
+            FROM (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
         """,
         "topk_per_group": """
             SELECT lang, doc_id, n_chars, rn FROM (
