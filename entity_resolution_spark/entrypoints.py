@@ -281,10 +281,15 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combinable hash aggregate over the exploded
     token stream (partial counts collapse before the shuffle, so shuffled
     volume is the DISTINCT vocab, not the token stream), then a 50-row
-    TakeOrdered — no global sort of the vocabulary."""
+    TakeOrdered — no global sort of the vocabulary.
+
+    Token boundary is the explicit class ``[ \\t\\n\\r\\f]+`` rather than
+    ``\\s+``: Java regex ``\\s`` includes ``\\x0B`` (vertical tab) while
+    DuckDB's RE2 ``\\s`` does not, so the engine-independent class keeps
+    the Spark query and its oracle agreeing on exotic ASCII whitespace."""
     d = _doc(spark, sf_dir)
     toks = d.select(
-        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+        F.explode(F.split(F.col("text"), r"[ \t\n\r\f]+")).alias("token")
     ).where(F.col("token") != "")
     return (
         toks.groupBy("token")
@@ -2553,7 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": """
             SELECT token, count(*)::bigint AS n
             FROM (
-                SELECT unnest(string_split_regex(text, '\\s+')) AS token
+                SELECT unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS token
                 FROM documents
             )
             WHERE token <> ''

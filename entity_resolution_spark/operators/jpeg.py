@@ -170,7 +170,25 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline JPEG to (width, height, uint8 luma array)."""
+    """Decode a baseline JPEG to (width, height, uint8 luma array).
+
+    Module contract: any corrupt/truncated/unsupported input raises
+    ``NotImplementedError`` — internal signals (``EOFError`` from a marker
+    mid-scan, ``_RestartMarker`` escaping a non-interleaved scan, index or
+    key errors from mangled segment tables) must not leak out.
+    """
+    try:
+        return _decode_jpeg_impl(data)
+    except NotImplementedError:
+        raise
+    except (EOFError, IndexError, KeyError, ValueError, struct.error,
+            _RestartMarker) as e:
+        raise NotImplementedError(
+            f"corrupt JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG (missing SOI)")
     pos = 2
@@ -178,10 +196,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
-    while pos < len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — 0xFF here is padding, not a marker byte.
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 1 >= len(data):
+                raise NotImplementedError("truncated JPEG (fill bytes at EOF)")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

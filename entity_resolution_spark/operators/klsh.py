@@ -241,7 +241,13 @@ def klsh_sweep(
         return records.groupBy(component_col).applyInPandas(
             run_component, KLSH_SCHEMA
         )
-    tagged = records.join(sizes, component_col)
+    # eqNullSafe: a NULL component id forms its own group under
+    # groupBy.applyInPandas (the unrouted path), so the split must keep it
+    # too — a plain equi-join would silently drop NULL-keyed rows here.
+    tagged = records.join(
+        sizes.withColumnRenamed(component_col, "_sz_comp"),
+        records[component_col].eqNullSafe(F.col("_sz_comp")),
+    ).drop("_sz_comp")
     small = tagged.where(F.col("_n") <= max_component_rows).drop("_n")
     big = tagged.where(F.col("_n") > max_component_rows).drop("_n")
     swept = small.groupBy(component_col).applyInPandas(run_component, KLSH_SCHEMA)

@@ -85,8 +85,11 @@ def parse_warc_stream(raw: bytes, source: str):
         http_end = body.find(b"\r\n\r\n")
         if http_end < 0:
             continue
-        status = body[: body.find(b"\r\n")]
-        if b" 200" not in status:
+        # Status code is the SECOND whitespace-separated token of the
+        # status line (RFC 9112 §4) — a substring test would false-positive
+        # on reason phrases containing " 200" and assumes single spacing.
+        status_parts = body[: body.find(b"\r\n")].split()
+        if len(status_parts) < 2 or status_parts[1] != b"200":
             continue
         yield url, ts, body[http_end + 4 :], source
 

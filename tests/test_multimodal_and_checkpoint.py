@@ -629,3 +629,39 @@ def test_jpeg_truncation_raises_codec_error_everywhere():
             decode_jpeg(base[:cut])
         except NotImplementedError:
             pass  # the documented corrupt/truncated-input signal
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may pad before a marker.
+    Padded files must decode identically to the unpadded encoding."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    data = encode_jpeg_gray(img, quant=1)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda"):
+        i = data.find(marker)
+        data = data[:i] + b"\xff\xff\xff" + data[i:]
+    w, h, out = MM.decode_image_bytes(data)
+    assert (w, h) == (16, 16)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_corrupt_entropy_raises_contract_error():
+    """Corrupt entropy data raises NotImplementedError per the module
+    contract — never a bare EOFError (marker mid-scan) or the internal
+    _RestartMarker (stray RSTn in a non-interleaved scan)."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    data = encode_jpeg_gray(img, quant=1)
+    sos = data.find(b"\xff\xda")
+    mid = sos + 10 + 8  # a few bytes into the entropy-coded segment
+    # a real marker mid-scan (previously escaped as EOFError)
+    bad_marker = data[:mid] + b"\xff\xc4" + data[mid:]
+    # a stray restart marker with no DRI (previously escaped _RestartMarker)
+    bad_rst = data[:mid] + b"\xff\xd3" + data[mid:]
+    for bad in (bad_marker, bad_rst):
+        with pytest.raises(NotImplementedError):
+            MM.decode_image_bytes(bytes(bad))

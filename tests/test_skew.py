@@ -192,3 +192,47 @@ def test_klsh_sweep_mega_component_error_mode_fails_loudly(spark):
         klsh_sweep(
             records, spec, max_component_rows=10, oversize="error"
         ).collect()
+
+
+def test_klsh_sweep_mega_split_keeps_null_component_rows(spark):
+    """The size-gate split joins records to per-component counts; that join
+    is null-safe, so rows with a NULL component id (possible upstream of a
+    left-join component assignment) survive the routed path exactly like
+    they survive the plain groupBy.applyInPandas path."""
+    from entity_resolution_spark.functions.features import FeatureSpec
+    from entity_resolution_spark.operators.klsh import klsh_sweep
+
+    spec = FeatureSpec(numeric_cols=("x",))
+    big = spark.range(2_000).select(
+        F.lit(0).cast("long").alias("component_id"),
+        F.col("id").alias("record_id"),
+        (F.col("id") % 13).cast("double").alias("x"),
+    )
+    nulls = spark.range(4).select(
+        F.lit(None).cast("long").alias("component_id"),
+        (F.col("id") + 10_000).alias("record_id"),
+        F.col("id").cast("double").alias("x"),
+    )
+    records = big.unionByName(nulls)
+
+    routed = klsh_sweep(
+        records, spec, k_bottom=1, k_top=2,
+        max_component_rows=100, oversize="lloyd",
+    )
+    null_rows = routed.where(F.col("component_id").isNull())
+    got_ids = sorted(
+        r["record_id"] for r in null_rows.select("record_id").distinct().collect()
+    )
+    assert got_ids == [10_000, 10_001, 10_002, 10_003]
+
+    # parity with the unsplit path on the same records
+    plain = klsh_sweep(
+        records, spec, k_bottom=1, k_top=2,
+        max_component_rows=10_000_000, oversize="lloyd",
+    )
+    plain_ids = sorted(
+        r["record_id"]
+        for r in plain.where(F.col("component_id").isNull())
+        .select("record_id").distinct().collect()
+    )
+    assert plain_ids == got_ids

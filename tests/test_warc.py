@@ -132,3 +132,30 @@ def test_warc_to_resolution_end_to_end(spark, tmp_path):
         pipeline.resolve(pages), truth
     ).collect()[0]
     assert m["f1"] == 1.0, m
+
+
+def test_status_code_is_second_token_not_substring(tmp_path):
+    """The 200 check parses the status-line token, not a substring: a 404
+    whose reason phrase contains ' 200' must be skipped, and a 200 line
+    with multiple spaces must still pass (RFC 9112 tolerates them)."""
+    html = b"<html>y</html>"
+
+    def rec(status_line, body, url):
+        payload = status_line + b"\r\n\r\n" + body
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    data = (
+        rec(b"HTTP/1.1 404 Redirected from 200 OK", b"nope",
+            "https://a.io/fake200")
+        + rec(b"HTTP/1.1  200  OK", html, "https://a.io/spaced")
+        + rec(b"HTTP/1.1", b"??", "https://a.io/short")
+    )
+    got = [(u, h) for u, _, h, _ in parse_warc_stream(data, "x")]
+    assert got == [("https://a.io/spaced", html)]

@@ -425,3 +425,23 @@ def test_hll_empty_input_reports_zero(spark):
     assert row["n_zero_registers"] == m
     assert row["s_scaled"] == m * (1 << 53)  # all registers at rho=0
     assert row["est_distinct"] == 0.0
+
+
+def test_top_tokens_boundary_class_is_engine_independent(spark):
+    """Java regex \\s matches \\x0B (vertical tab); DuckDB's RE2 \\s does
+    not. top_tokens therefore splits on the explicit class [ \\t\\n\\r\\f]+
+    in BOTH engines — this pins the parity: a \\x0B-joined pair stays ONE
+    token on each side."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    s = "a\x0bb c\td"
+    df = spark.createDataFrame([(s,)], "text string")
+    spark_toks = df.select(
+        F.split("text", r"[ \t\n\r\f]+").alias("t")
+    ).collect()[0]["t"]
+    duck_toks = duckdb.execute(
+        "SELECT string_split_regex(?, '[ \\t\\n\\r\\f]+')", [s]
+    ).fetchone()[0]
+    assert spark_toks == duck_toks == ["a\x0bb", "c", "d"]
