@@ -1,11 +1,17 @@
-"""Baseline JPEG codec, dependency-free (numpy + struct only).
+"""Baseline + progressive JPEG codec, dependency-free (numpy + struct only).
 
-Covers the sequential-DCT baseline that dominates crawl imagery: SOF0,
-8-bit, grayscale or YCbCr with any of the common subsampling layouts
-(4:4:4, 4:2:2, 4:2:0), restart markers, multiple DQT/DHT segments.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` — plug Pillow via ``multimodal.register_decoder``
-for those.
+Covers the DCT modes that dominate crawl imagery: sequential (SOF0
+baseline and SOF1 extended-sequential, which decodes identically at
+8-bit) and progressive (SOF2) — 8-bit, grayscale or YCbCr with any of
+the common subsampling layouts (4:4:4, 4:2:2, 4:2:0), restart markers,
+multiple DQT/DHT segments. Progressive support implements the full
+Annex G successive-approximation algebra: DC first + refinement scans
+(interleaved or single-component), AC first scans with EOBn run-length
+coding and ZRL, and AC refinement scans with correction bits
+(G.1.2.3 — the libjpeg-compatible zero-history run semantics).
+Hierarchical/lossless modes, arithmetic coding, and 12-bit precision
+raise ``NotImplementedError`` — plug Pillow via
+``multimodal.register_decoder`` for those.
 
 This is a correctness-first decoder for metadata/feature extraction
 (dimensions, luma stats, resize inputs), not a throughput codec: the
@@ -196,6 +202,7 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    prog_state = None  # per-component coefficient accumulators (SOF2)
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -210,6 +217,10 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI: all progressive scans accumulated
+            if prog_state is not None:
+                return _reconstruct_progressive(frame, prog_state, qt)
+            raise NotImplementedError("JPEG EOI before any decodable scan")
         if pos + 2 > len(data):
             raise NotImplementedError("truncated JPEG (segment header cut)")
         seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
@@ -233,7 +244,9 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
                 values = list(body[p + 17 : p + 17 + n])
                 huff[(cls, tid)] = _build_huffman(bits, values)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended-sequential (identical decode at
+            # 8-bit) / SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -241,10 +254,12 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline JPEG (SOF0) supported, got SOF marker {marker:#x}"
+                f"unsupported JPEG mode (SOF marker {marker:#x}): only "
+                "sequential (SOF0/SOF1) and progressive (SOF2) Huffman DCT"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -254,12 +269,27 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
             for i in range(ns):
                 cid, tids = body[1 + 2 * i], body[2 + 2 * i]
                 scan[cid] = (tids >> 4, tids & 0xF)
-            pos += seg_len
-            return _decode_scan(
-                data, pos, frame, qt, huff, scan, restart_interval
+            if frame is None:
+                raise NotImplementedError("JPEG scan before SOF")
+            if not frame["progressive"]:
+                pos += seg_len
+                return _decode_scan(
+                    data, pos, frame, qt, huff, scan, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _init_progressive_state(frame)
+            pos = _decode_progressive_scan(
+                data, pos + seg_len, frame, prog_state, huff, scan,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+            continue
         pos += seg_len
-    raise NotImplementedError("JPEG without SOS scan")
+    raise NotImplementedError(
+        "JPEG without SOS scan" if prog_state is None
+        else "truncated progressive JPEG (missing EOI)"
+    )
 
 
 def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
@@ -366,6 +396,242 @@ def _decode_block(br, dc_t, ac_t, q, pred, ci):
     coef[ZIGZAG] = zz * q[np.arange(64)].astype(np.float64)
     F_blk = coef.reshape(8, 8)
     return _M.T @ F_blk @ _M + 128.0
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan accumulation — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+def _comp_geometry(frame, c):
+    """((ni_bxn, ni_byn), (mcu_bxn, mcu_byn)) block-grid sizes for comp c:
+    the non-interleaved grid covers just the component's own samples
+    (A.2.2); the MCU grid is padded to whole MCUs (A.2.3)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return ((cw + 7) // 8, (ch + 7) // 8), (mcux * c["h"], mcuy * c["v"])
+
+
+def _init_progressive_state(frame):
+    """Zigzag-ordered int32 coefficient accumulator per component, sized to
+    the MCU-padded grid (interleaved DC scans touch the padding blocks;
+    non-interleaved AC scans only the real sub-grid)."""
+    state = []
+    for c in frame["comps"]:
+        _, (bxn, byn) = _comp_geometry(frame, c)
+        state.append(np.zeros((byn, bxn, 64), dtype=np.int32))
+    return state
+
+
+def _next_marker_pos(data, pos):
+    """First position at/after ``pos`` holding a real marker (skips stuffed
+    0xFF00 pairs, stray RSTn, and 0xFF fill runs)."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00:
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        else:
+            return pos
+    raise NotImplementedError("truncated progressive JPEG (no marker after scan)")
+
+
+def _decode_progressive_scan(
+    data, pos, frame, state, huff, scan, ss, se, ah, al, restart_interval
+):
+    """Apply one progressive scan to the coefficient accumulators; returns
+    the position of the marker following the scan's entropy data."""
+    comps = frame["comps"]
+    in_scan = [
+        (ci, c) for ci, c in enumerate(comps) if c["id"] in scan
+    ]
+    if len(in_scan) != len(scan):
+        raise NotImplementedError("corrupt JPEG: scan names unknown component")
+    br = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise NotImplementedError(
+                "corrupt progressive JPEG: DC scan with Se != 0"
+            )
+        _prog_dc_scan(br, frame, state, huff, scan, in_scan, ah, al,
+                      restart_interval)
+    else:
+        if len(in_scan) != 1:
+            raise NotImplementedError(
+                "corrupt progressive JPEG: interleaved AC scan"
+            )
+        ci, c = in_scan[0]
+        ac_t = huff.get((1, scan[c["id"]][1]))
+        if ac_t is None:
+            raise NotImplementedError("corrupt JPEG: missing AC Huffman table")
+        _prog_ac_scan(br, frame, state[ci], c, ac_t, ss, se, ah, al,
+                      restart_interval)
+    return _next_marker_pos(data, br.pos)
+
+
+def _prog_dc_scan(br, frame, state, huff, scan, in_scan, ah, al,
+                  restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    if len(in_scan) > 1:  # interleaved: MCU = one h×v block set per comp
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        mcus = [
+            [
+                (ci, c, my * c["v"] + by, mx * c["h"] + bx)
+                for ci, c in in_scan
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+            for my in range(mcuy)
+            for mx in range(mcux)
+        ]
+    else:  # single component: MCU = one block, raster over its own grid
+        ci, c = in_scan[0]
+        (bxn, byn), _ = _comp_geometry(frame, c)
+        mcus = [[(ci, c, by, bx)] for by in range(byn) for bx in range(bxn)]
+    pred = {ci: 0 for ci, _ in in_scan}
+    for i, blocks in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            br.sync_to_restart()
+            pred = {k: 0 for k in pred}
+        for ci, c, by, bx in blocks:
+            coef = state[ci]
+            if ah == 0:
+                dc_t = huff.get((0, scan[c["id"]][0]))
+                if dc_t is None:
+                    raise NotImplementedError("corrupt JPEG: missing DC table")
+                t = _decode_symbol(br, dc_t)
+                diff = _extend(br.read_bits(t), t) if t else 0
+                pred[ci] += diff
+                coef[by, bx, 0] = pred[ci] << al
+            else:
+                if br.read_bit():
+                    coef[by, bx, 0] |= 1 << al
+
+
+def _prog_ac_scan(br, frame, coef, c, ac_t, ss, se, ah, al,
+                  restart_interval):
+    (bxn, byn), _ = _comp_geometry(frame, c)
+    eobrun = 0
+    mcu_count = 0
+    for by in range(byn):
+        for bx in range(bxn):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                br.sync_to_restart()
+                eobrun = 0
+            mcu_count += 1
+            blk = coef[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, blk, ac_t, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, blk, ac_t, ss, se, al, eobrun)
+
+
+def _ac_first_block(br, blk, ac_t, ss, se, al, eobrun):
+    """G.1.2.2: first scan for an AC band — run/size symbols plus EOBn."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun - 1  # EOB covers the rest of THIS block too
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise NotImplementedError("corrupt JPEG: AC band overflow")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, blk, ac_t, ss, se, al, eobrun):
+    """G.1.2.3: refinement scan for an AC band — one correction bit per
+    already-nonzero coefficient, run/size symbols position newly-nonzero
+    ones among the zero-history coefficients (libjpeg-compatible)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                sval = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise NotImplementedError(
+                        "corrupt JPEG: refinement size != 1"
+                    )
+                sval = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                blk[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, state, qt):
+    """Dequantize + vectorized IDCT of the accumulated luma coefficients."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    c = comps[0]  # luma is all we surface downstream
+    q = qt[c["q"]].astype(np.float64)
+    zz = state[0].astype(np.float64) * q  # (byn, bxn, 64) zigzag order
+    nat = np.zeros_like(zz)
+    nat[..., ZIGZAG] = zz
+    byn, bxn = nat.shape[:2]
+    blocks = nat.reshape(byn, bxn, 8, 8)
+    idct = np.einsum("ux,yzuv,vw->yzxw", _M, blocks, _M) + 128.0
+    plane = idct.transpose(0, 2, 1, 3).reshape(byn * 8, bxn * 8)
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    y = plane[:ch, :cw]
+    fy, fx = vmax // c["v"], hmax // c["h"]
+    if fy > 1 or fx > 1:
+        y = np.repeat(np.repeat(y, fy, axis=0), fx, axis=1)
+    y = y[:h, :w]
+    return w, h, np.clip(np.round(y), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -570,3 +836,324 @@ def encode_jpeg_ycbcr420(
 ) -> bytes:
     """Back-compat alias: 4:2:0 via :func:`encode_jpeg_ycbcr`."""
     return encode_jpeg_ycbcr(y, cb, cr, quant=quant, hs=2, vs=2)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (round-trip fixtures for the SOF2 decode path)
+# ---------------------------------------------------------------------------
+
+# The sequential Annex K AC table lacks the EOBn symbols (0x10..0xE0) that
+# progressive EOB-run coding needs, so fixtures carry a flat 9-bit canonical
+# table holding every (run, size) symbol progressive scans can emit:
+# EOB0..EOB14, ZRL, and run 0-15 × size 1-10. 176 codes at 9 bits satisfies
+# Kraft (176/512) and never assigns the reserved all-ones code.
+_PROG_AC_SYMBOLS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_SPEC = (
+    [0] * 9 + [len(_PROG_AC_SYMBOLS)] + [0] * 7,
+    _PROG_AC_SYMBOLS,
+)
+
+
+def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(byn, bxn, 64) zigzag-ordered quantized DCT coefficients of a
+    replication-padded plane — the shared front half of every encoder."""
+    h, w = plane.shape
+    byn, bxn = (h + 7) // 8, (w + 7) // 8
+    img = _pad_to(plane, byn * 8, bxn * 8)
+    out = np.zeros((byn, bxn, 64), dtype=np.int64)
+    qf = q.astype(np.float64)
+    for by in range(byn):
+        for bx in range(bxn):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            F_blk = _M @ (blk - 128.0) @ _M.T
+            out[by, bx] = np.round(F_blk.reshape(64)[ZIGZAG] / qf).astype(
+                np.int64
+            )
+    return out
+
+
+def _emit_restart(bw: _BitWriter, rst_n: int) -> int:
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + rst_n])
+    return (rst_n + 1) % 8
+
+
+def _enc_dc_scan(bw, mcus, dc_enc, ah, al, restart_interval):
+    """DC scan over MCUs (each a list of (comp_idx, zigzag block)): first
+    pass (ah=0) codes diffs of the point-transformed DC; refinement emits
+    one bit per block."""
+    pred: dict[int, int] = {}
+    rst = 0
+    for i, blocks in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            rst = _emit_restart(bw, rst)
+            pred = {}
+        for ci, blk in blocks:
+            if ah == 0:
+                v = int(blk[0]) >> al  # G.1.2.1: arithmetic shift
+                diff = v - pred.get(ci, 0)
+                pred[ci] = v
+                sz, bits = _magnitude(diff)
+                code, ln = dc_enc[sz]
+                bw.write(code, ln)
+                if sz:
+                    bw.write(bits, sz)
+            else:
+                bw.write((int(blk[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first_scan(bw, blocks, ac_enc, ss, se, al, restart_interval):
+    """First AC scan for a band: run/size + magnitude with EOBn run
+    accumulation across blocks (exercises the decoder's EOBn>1 path)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            flush_eob()
+            rst = _emit_restart(bw, rst)
+        vals = []
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            a = abs(c) >> al  # G.1.2.2: magnitude shift, sign preserved
+            vals.append(a if c >= 0 else -a)
+        last = -1
+        for j, v in enumerate(vals):
+            if v:
+                last = j
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(last + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            sz, bits = _magnitude(v)
+            code, ln = ac_enc[(run << 4) | sz]
+            bw.write(code, ln)
+            bw.write(bits, sz)
+            run = 0
+        if last < len(vals) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine_scan(bw, blocks, ac_enc, ss, se, al, restart_interval):
+    """AC refinement scan (G.1.2.3, libjpeg-compatible): newly-nonzero
+    coefficients get (zero-history-run, 1) symbols + a sign bit; already-
+    nonzero ones get correction bits buffered and flushed with the next
+    symbol. Per-block EOB0 flush keeps the correction-bit bookkeeping
+    local (no cross-block EOB buffering — the decoder accepts both)."""
+    rst = 0
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            rst = _emit_restart(bw, rst)
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        sign = [int(blk[k]) >= 0 for k in range(ss, se + 1)]
+        eobpos = -1
+        for j, t in enumerate(absv):
+            if t == 1:
+                eobpos = j
+        r = 0
+        br_bits: list[int] = []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # ZRL only when a newly-nonzero coefficient still follows;
+            # emitting it BEFORE buffering this position's bit preserves
+            # the invariant that every buffered correction bit sits within
+            # 15 pending zeros (the decoder's ZRL zero budget is 16).
+            while r > 15 and j <= eobpos:
+                code, ln = ac_enc[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            code, ln = ac_enc[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if sign[j] else 0, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            code, ln = ac_enc[0x00]  # EOB0: rest of this block's band
+            bw.write(code, ln)
+            for b in br_bits:
+                bw.write(b, 1)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _prog_headers(q: np.ndarray, sof_comps: bytes, h: int, w: int,
+                  nc: int, restart_interval: int) -> bytes:
+    dqt = _seg(0xDB, bytes([0x00]) + q.tobytes())
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    dht = (
+        _seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0][1:])
+             + bytes(_STD_DC_LUMA[1]))
+        + _seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_SPEC[0][1:])
+               + bytes(_PROG_AC_SPEC[1]))
+    )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
+    return b"\xff\xd8" + dqt + dri + sof + dht
+
+
+def _prog_sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+              ah: int, al: int) -> bytes:
+    body = bytes([len(comp_specs)])
+    for cid, dc_tid, ac_tid in comp_specs:
+        body += bytes([cid, (dc_tid << 4) | ac_tid])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def encode_jpeg_progressive_gray(
+    pixels: np.ndarray, quant: int = 1, restart_interval: int = 0
+) -> bytes:
+    """Progressive (SOF2) grayscale fixture with a six-scan script that
+    exercises every Annex G decode path: DC first at Al=1, two spectral
+    AC bands at Al=2 (EOBn runs + ZRL), a two-step AC successive
+    approximation (Ah=2→1 then 1→0), and a DC refinement — identical
+    reconstructed coefficients to :func:`encode_jpeg_gray` at the same
+    ``quant``, so decode(progressive) must equal decode(baseline) exactly.
+    """
+    q = np.full(64, quant, dtype=np.uint8)
+    coefs = _quantized_blocks(pixels, q)
+    byn, bxn = coefs.shape[:2]
+    raster = [coefs[by, bx] for by in range(byn) for bx in range(bxn)]
+    mcus = [[(0, blk)] for blk in raster]
+    dc_enc = _encode_huffman_spec(*_STD_DC_LUMA)
+    ac_enc = _encode_huffman_spec(*_PROG_AC_SPEC)
+    h, w = pixels.shape
+    out = bytearray(_prog_headers(q, bytes([1, 0x11, 0]), h, w, 1,
+                                  restart_interval))
+    script = [
+        ("dc", None, 0, 1),
+        ("ac", (1, 5), 0, 2),
+        ("ac", (6, 63), 0, 2),
+        ("ac_ref", (1, 63), 2, 1),
+        ("dc", None, 1, 0),
+        ("ac_ref", (1, 63), 1, 0),
+    ]
+    for kind, band, ah, al in script:
+        bw = _BitWriter()
+        if kind == "dc":
+            _enc_dc_scan(bw, mcus, dc_enc, ah, al, restart_interval)
+            out += _prog_sos([(1, 0, 0)], 0, 0, ah, al)
+        elif kind == "ac":
+            _enc_ac_first_scan(bw, raster, ac_enc, band[0], band[1], al,
+                               restart_interval)
+            out += _prog_sos([(1, 0, 0)], band[0], band[1], ah, al)
+        else:
+            _enc_ac_refine_scan(bw, raster, ac_enc, band[0], band[1], al,
+                                restart_interval)
+            out += _prog_sos([(1, 0, 0)], band[0], band[1], ah, al)
+        bw.flush()
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_ycbcr(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, quant: int = 1,
+    hs: int = 2, vs: int = 2,
+) -> bytes:
+    """Progressive color fixture: interleaved DC first + refinement scans
+    over the MCU grid, then one non-interleaved AC scan per component over
+    its own block grid (which is SMALLER than the MCU-padded grid whenever
+    the image isn't a whole number of MCUs — the exact layout divergence
+    the decoder must honor per A.2.2/A.2.3)."""
+    h, w = y.shape
+    ch, cw = (h + vs - 1) // vs, (w + hs - 1) // hs
+    if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+        raise ValueError(f"chroma planes must be {(ch, cw)}")
+    q = np.full(64, quant, dtype=np.uint8)
+    mcux, mcuy = (w + 8 * hs - 1) // (8 * hs), (h + 8 * vs - 1) // (8 * vs)
+    ycoef = _quantized_blocks(
+        _pad_to(y, mcuy * vs * 8, mcux * hs * 8), q
+    )
+    cbcoef = _quantized_blocks(_pad_to(cb, mcuy * 8, mcux * 8), q)
+    crcoef = _quantized_blocks(_pad_to(cr, mcuy * 8, mcux * 8), q)
+    mcus = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blocks = [
+                (0, ycoef[my * vs + by, mx * hs + bx])
+                for by in range(vs)
+                for bx in range(hs)
+            ]
+            blocks.append((1, cbcoef[my, mx]))
+            blocks.append((2, crcoef[my, mx]))
+            mcus.append(blocks)
+
+    def ni_raster(coef, nih, niw):
+        byn, bxn = (nih + 7) // 8, (niw + 7) // 8
+        return [coef[by, bx] for by in range(byn) for bx in range(bxn)]
+
+    y_raster = ni_raster(ycoef, h, w)
+    cb_raster = ni_raster(cbcoef, ch, cw)
+    cr_raster = ni_raster(crcoef, ch, cw)
+    dc_enc = _encode_huffman_spec(*_STD_DC_LUMA)
+    ac_enc = _encode_huffman_spec(*_PROG_AC_SPEC)
+    sof_comps = (
+        bytes([1, (hs << 4) | vs, 0]) + bytes([2, 0x11, 0])
+        + bytes([3, 0x11, 0])
+    )
+    out = bytearray(_prog_headers(q, sof_comps, h, w, 3, 0))
+    all3 = [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    for kind, args in [
+        ("dc", (mcus, 0, 1)),
+        ("dc", (mcus, 1, 0)),
+        ("ac", (y_raster, (1,), 0, 0)),
+        ("ac", (cb_raster, (2,), 0, 0)),
+        ("ac", (cr_raster, (3,), 0, 0)),
+    ]:
+        bw = _BitWriter()
+        if kind == "dc":
+            blocks, ah, al = args
+            _enc_dc_scan(bw, blocks, dc_enc, ah, al, 0)
+            out += _prog_sos(all3, 0, 0, ah, al)
+        else:
+            raster, (cid,), ah, al = args
+            _enc_ac_first_scan(bw, raster, ac_enc, 1, 63, al, 0)
+            out += _prog_sos([(cid, 0, 0)], 1, 63, ah, al)
+        bw.flush()
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)

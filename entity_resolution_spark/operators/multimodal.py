@@ -9,7 +9,8 @@ codec step is pluggable:
 * a **deterministic synthetic codec** (``IMG1``/``AUD1``/``VID1`` headers,
   raw payload) used by tests and fixtures,
 * **dependency-free real codecs**: PNG (8-bit gray/RGB/RGBA/palette —
-  stdlib zlib inflate + scanline unfiltering incl. Paeth), baseline JPEG
+  stdlib zlib inflate + scanline unfiltering incl. Paeth), JPEG in both
+  sequential (SOF0/SOF1) and progressive (SOF2) DCT modes
   (operators/jpeg.py), GIF87a/89a (operators/gif.py — LZW + interlace),
   uncompressed BMP (8-bit palette and 24-bit BGR), binary PGM (P5) /
   PPM (P6), RIFF/WAVE PCM-16 audio, and MJPEG-in-AVI video — parsed with

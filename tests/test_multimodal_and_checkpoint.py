@@ -418,14 +418,39 @@ def test_jpeg_420_color_round_trip():
         assert np.abs(out.astype(int) - y.astype(int)).max() <= 2
 
 
-def test_jpeg_unsupported_progressive_raises():
+def test_jpeg_unsupported_modes_raise():
     from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
 
-    data = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
-    i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF"):
+    base = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    i = base.find(b"\xff\xc0")
+    # lossless (SOF3) and arithmetic-coded (SOFA) stay unsupported
+    for sof in (0xC3, 0xCA):
+        data = bytearray(base)
+        data[i + 1] = sof
+        with pytest.raises(NotImplementedError, match="SOF"):
+            MM.decode_image_bytes(bytes(data))
+    # a baseline-shaped scan header under an SOF2 frame is corrupt
+    # progressive data (DC scan must have Se=0) — contract error, not a
+    # silent mis-decode
+    data = bytearray(base)
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
         MM.decode_image_bytes(bytes(data))
+
+
+def test_jpeg_sof1_extended_sequential_decodes_as_baseline():
+    """SOF1 (extended sequential) is bit-identical to SOF0 at 8-bit
+    precision; real crawl files occasionally declare it."""
+    from entity_resolution_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(img, quant=1))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC1
+    w, h, out = decode_jpeg(bytes(data))
+    assert (w, h) == (24, 16)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
 
 
 def test_jpeg_through_spark(spark):
@@ -665,3 +690,113 @@ def test_jpeg_corrupt_entropy_raises_contract_error():
     for bad in (bad_marker, bad_rst):
         with pytest.raises(NotImplementedError):
             MM.decode_image_bytes(bytes(bad))
+
+
+# --- JPEG progressive (SOF2) -------------------------------------------------
+
+def test_jpeg_progressive_gray_matches_baseline_exactly():
+    """The six-scan progressive script reconstructs the SAME quantized
+    coefficients as the baseline encoding, so the decoded luma must be
+    byte-identical — a far stronger check than tolerance bounds."""
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.default_rng(31)
+    grad = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 256).astype(
+        np.uint8
+    )
+    noise = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    flat = np.full((16, 16), 130, dtype=np.uint8)  # all-EOB AC scans
+    for img in (grad, noise, flat):
+        for quant in (1, 3):
+            base = decode_jpeg(encode_jpeg_gray(img, quant=quant))
+            prog = decode_jpeg(
+                encode_jpeg_progressive_gray(img, quant=quant)
+            )
+            assert base[:2] == prog[:2]
+            assert np.array_equal(base[2], prog[2]), (img.shape, quant)
+            if quant == 1:
+                assert np.abs(prog[2].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_restart_markers():
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(img, quant=2))
+    prog = decode_jpeg(
+        encode_jpeg_progressive_gray(img, quant=2, restart_interval=3)
+    )
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_jpeg_progressive_color_matches_baseline():
+    """Interleaved DC scans + per-component non-interleaved AC scans over
+    4:2:0/4:2:2 layouts, including an image that is not a whole number of
+    MCUs (the component grid differs from the MCU-padded grid)."""
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive_ycbcr,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.default_rng(33)
+    for hw, (hs, vs) in [((16, 16), (2, 2)), ((17, 23), (2, 2)),
+                         ((24, 40), (2, 1))]:
+        y = rng.integers(0, 256, size=hw, dtype=np.uint8)
+        ch, cw = (hw[0] + vs - 1) // vs, (hw[1] + hs - 1) // hs
+        cb = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+        cr = rng.integers(0, 256, size=(ch, cw), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_ycbcr(y, cb, cr, quant=1, hs=hs, vs=vs))
+        prog = decode_jpeg(
+            encode_jpeg_progressive_ycbcr(y, cb, cr, quant=1, hs=hs, vs=vs)
+        )
+        assert base[:2] == prog[:2] == (hw[1], hw[0])
+        assert np.array_equal(base[2], prog[2]), (hw, hs, vs)
+        assert np.abs(prog[2].astype(int) - y.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_truncation_raises_everywhere():
+    """Cutting a progressive file at ANY byte raises the contract error
+    (or, for cuts beyond the last scan's data, still decodes) — never an
+    internal exception type."""
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.default_rng(34)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    data = encode_jpeg_progressive_gray(img, quant=2)
+    for cut in range(2, len(data), 7):
+        try:
+            decode_jpeg(data[:cut])
+        except NotImplementedError:
+            pass  # the documented corrupt/truncated-input signal
+
+
+def test_jpeg_progressive_through_spark_image_features(spark):
+    from entity_resolution_spark.operators.jpeg import (
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.default_rng(35)
+    rows = []
+    for i in range(3):
+        px = rng.integers(0, 256, size=(8, 16), dtype=np.uint8)
+        rows.append((i, bytearray(encode_jpeg_progressive_gray(px)), px))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, _ in rows], "doc_id long, image binary"
+    )
+    feats = {r["doc_id"]: r for r in MM.image_features(df).collect()}
+    for i, _, px in rows:
+        assert (feats[i]["width"], feats[i]["height"]) == (16, 8)
+        assert abs(feats[i]["mean_luma"] - px.mean()) <= 2

@@ -282,3 +282,24 @@ def test_gif_round_trip_property(shape, rnd):
     w2, h2, got = decode_gif(encode_gif(px))
     assert (w2, h2) == (w, h)
     assert np.array_equal(got, px)  # identity gray palette ⇒ exact
+
+
+@given(_img_shapes, st.integers(1, 6), st.randoms(use_true_random=False))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(shape, quant, rnd):
+    """For ANY image and quant, the progressive scan script reconstructs
+    the same quantized coefficients as the sequential encoding, so the two
+    decodes must agree byte-for-byte."""
+    from entity_resolution_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    h, w = shape
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(px, quant=quant))
+    prog = decode_jpeg(encode_jpeg_progressive_gray(px, quant=quant))
+    assert base[:2] == prog[:2] == (w, h)
+    assert np.array_equal(base[2], prog[2])
