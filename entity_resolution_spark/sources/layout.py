@@ -30,9 +30,29 @@ restores them as columns, and Catalyst turns ``crawl_day``/``url_bucket``
 predicates into PartitionFilters (pruned at file-listing time, visible in
 the scan node — asserted by tests/test_layout.py the same way PLANS.md
 asserts scan shapes).
+
+**Snapshots / atomic publish** (:func:`publish_pages_layout`): a bare
+``mode=overwrite`` rewrite has a window where a concurrent reader sees a
+partial table, and a crash mid-rewrite loses the old data too.  The
+publish path therefore reuses the streaming compactor's crash-atomic
+pattern (``streaming/crawl_compaction.py``): each publish writes a FRESH
+versioned directory ``<root>/v{n}/<hive layout>`` and then atomically
+renames a one-line ``CURRENT`` pointer over the old one.  At every
+instant ``CURRENT`` names a complete, readable snapshot; readers that
+resolved an older snapshot keep scanning its (still present) files; a
+crash before the pointer flip leaves an orphan directory the next
+publish simply skips past.  Old snapshots remain readable by version
+(:func:`read_pages_snapshot` — time travel) until explicitly retired via
+``retain_last``.  This is exactly the snapshot/commit half of what
+Iceberg metadata buys; the pointer file is the sandbox stand-in for its
+catalog swap.
 """
 
 from __future__ import annotations
+
+import os
+import re
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,12 +98,97 @@ def write_pages_layout(
     )
 
 
+_SNAPSHOT_RE = re.compile(r"^v(\d+)$")
+
+
+def snapshot_versions(root: str) -> list[int]:
+    """Sorted snapshot versions present under ``root`` (orphans included —
+    presence of a directory does not imply it was ever published)."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1)) for n in names if (m := _SNAPSHOT_RE.match(n))
+    )
+
+
+def current_snapshot(root: str) -> int | None:
+    """Version the ``CURRENT`` pointer names, or None for a plain
+    (non-snapshot) layout directory."""
+    try:
+        with open(os.path.join(root, "CURRENT")) as fh:
+            content = fh.read().strip()
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    m = _SNAPSHOT_RE.match(content)
+    return int(m.group(1)) if m else None
+
+
+def publish_pages_layout(
+    df: DataFrame,
+    root: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    retain_last: int | None = None,
+) -> int:
+    """Atomically publish ``df`` as the next snapshot of the table at
+    ``root``; returns the new version number.
+
+    Write order is the crash-safety argument: (1) the full Hive layout
+    lands in a fresh ``v{n}`` directory nobody reads yet; (2) the pointer
+    is REPLACED atomically (write-temp + rename).  A crash during (1)
+    leaves the previous snapshot live and an orphan directory whose
+    version number the next publish skips (it allocates max+1 over ALL
+    ``v*`` directories, published or not — a half-written directory is
+    never reused).  Readers holding the previous snapshot keep working
+    through and after the flip, because a publish never touches existing
+    snapshot directories.
+
+    ``retain_last``: optionally delete all but the newest N snapshots
+    AFTER the flip (the new current is always kept).  Deletion breaks
+    readers still scanning those old snapshots — same contract as
+    expiring Iceberg snapshots — so it runs last and defaults to off.
+    """
+    os.makedirs(root, exist_ok=True)
+    versions = snapshot_versions(root)
+    new_v = (versions[-1] + 1) if versions else 0
+    write_pages_layout(
+        df, os.path.join(root, f"v{new_v}"), n_buckets=n_buckets,
+        url_col=url_col, ts_col=ts_col, mode="errorifexists",
+    )
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"v{new_v}\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+    if retain_last is not None and retain_last >= 1:
+        for old in snapshot_versions(root)[:-retain_last]:
+            if old != new_v:
+                shutil.rmtree(os.path.join(root, f"v{old}"),
+                              ignore_errors=True)
+    return new_v
+
+
 def read_pages_layout(spark: SparkSession, path: str) -> DataFrame:
     """Read the layout back; ``crawl_day`` / ``url_bucket`` come back as
     partition columns, so filters on them prune directories at file-listing
     time (PartitionFilters in the scan, zero data files touched outside the
-    selected day/bucket ranges)."""
+    selected day/bucket ranges).
+
+    If ``path`` is a snapshot root (has a ``CURRENT`` pointer), the
+    current snapshot is resolved at call time and the returned DataFrame
+    is pinned to it: later publishes do not change what this DataFrame
+    scans (snapshot-isolated reads)."""
+    cur = current_snapshot(path)
+    if cur is not None:
+        path = os.path.join(path, f"v{cur}")
     return spark.read.parquet(path)
+
+
+def read_pages_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time travel: read a specific published (or retained) snapshot."""
+    return spark.read.parquet(os.path.join(root, f"v{version}"))
 
 
 def point_lookup(

@@ -159,3 +159,92 @@ def test_layout_pages_feed_the_pipeline(spark, tmp_path):
     m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m2 and "crawl_day" in m2.group(1), plan
     assert daily.count() > 0
+
+
+# --- snapshots / atomic publish ----------------------------------------------
+
+def test_publish_snapshot_flip_and_time_travel(spark, tmp_path):
+    from entity_resolution_spark.sources.layout import (
+        current_snapshot,
+        publish_pages_layout,
+        read_pages_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "pages")
+    v0 = publish_pages_layout(_pages(spark, n=100), root, n_buckets=N_BUCKETS)
+    v1 = publish_pages_layout(_pages(spark, n=250), root, n_buckets=N_BUCKETS)
+    assert (v0, v1) == (0, 1)
+    assert current_snapshot(root) == 1
+    assert snapshot_versions(root) == [0, 1]
+    # reader resolves the current snapshot
+    assert read_pages_layout(spark, root).count() == 250
+    # time travel: the old snapshot stays fully readable
+    assert read_pages_snapshot(spark, root, 0).count() == 100
+    # point_lookup prunes within the current snapshot
+    got = point_lookup(spark, root, "https://site3.example.com/p/3",
+                       n_buckets=N_BUCKETS).collect()
+    assert [r["doc_id"] for r in got] == [3]
+
+
+def test_publish_concurrent_reader_is_snapshot_isolated(spark, tmp_path):
+    """A reader that resolved the table BEFORE a rewrite keeps seeing its
+    complete snapshot throughout and after the publish — the failure mode
+    of a bare mode=overwrite (reader sees a half-deleted table) cannot
+    happen because a publish never touches existing snapshot dirs."""
+    from entity_resolution_spark.sources.layout import publish_pages_layout
+
+    root = str(tmp_path / "pages")
+    publish_pages_layout(_pages(spark, n=100), root, n_buckets=N_BUCKETS)
+    reader = read_pages_layout(spark, root)  # lazy: pinned to v0's files
+    publish_pages_layout(_pages(spark, n=250), root, n_buckets=N_BUCKETS)
+    # old reader: still exactly the 100 v0 rows, no partial state
+    assert reader.count() == 100
+    assert sorted(r["doc_id"] for r in reader.select("doc_id").collect()) \
+        == list(range(100))
+    # a fresh resolve sees the new table
+    assert read_pages_layout(spark, root).count() == 250
+
+
+def test_publish_crash_before_flip_resumes_cleanly(spark, tmp_path):
+    """Simulated crash: a snapshot directory fully (or partially) written
+    but the pointer never flipped. Readers stay on the old snapshot; the
+    next publish allocates a FRESH version (never reuses the orphan) and
+    flips past it."""
+    from entity_resolution_spark.sources.layout import (
+        current_snapshot,
+        publish_pages_layout,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "pages")
+    publish_pages_layout(_pages(spark, n=100), root, n_buckets=N_BUCKETS)
+    # crash during publish of v1: data landed, pointer flip never happened
+    write_pages_layout(_pages(spark, n=17), root + "/v1", n_buckets=N_BUCKETS)
+    assert current_snapshot(root) == 0
+    assert read_pages_layout(spark, root).count() == 100
+    # retry (new data): orphan v1 is skipped, not reused
+    v = publish_pages_layout(_pages(spark, n=250), root, n_buckets=N_BUCKETS)
+    assert v == 2
+    assert current_snapshot(root) == 2
+    assert read_pages_layout(spark, root).count() == 250
+    assert snapshot_versions(root) == [0, 1, 2]
+
+
+def test_publish_retain_last_expires_old_snapshots(spark, tmp_path):
+    from entity_resolution_spark.sources.layout import (
+        publish_pages_layout,
+        read_pages_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "pages")
+    for n in (50, 100, 150):
+        publish_pages_layout(_pages(spark, n=n), root, n_buckets=N_BUCKETS)
+    assert snapshot_versions(root) == [0, 1, 2]
+    v = publish_pages_layout(_pages(spark, n=200), root,
+                             n_buckets=N_BUCKETS, retain_last=2)
+    assert v == 3
+    assert snapshot_versions(root) == [2, 3]
+    assert read_pages_layout(spark, root).count() == 200
+    assert read_pages_snapshot(spark, root, 2).count() == 150
