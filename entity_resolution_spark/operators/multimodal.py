@@ -13,8 +13,10 @@ codec step is pluggable:
   sequential (SOF0/SOF1) and progressive (SOF2) DCT modes
   (operators/jpeg.py), GIF87a/89a (operators/gif.py — LZW + interlace),
   uncompressed BMP (8-bit palette and 24-bit BGR), binary PGM (P5) /
-  PPM (P6), RIFF/WAVE PCM-16 audio, and MJPEG-in-AVI video — parsed with
-  ``zlib``/``struct``/``numpy`` only, and
+  PPM (P6), RIFF/WAVE PCM-16 audio, FLAC lossless audio
+  (operators/flac.py — RFC 9639 fixed/LPC prediction + Rice coding),
+  and MJPEG-in-AVI video — parsed with ``zlib``/``struct``/``numpy``
+  only, and
 * a clearly-marked hook that raises ``NotImplementedError`` for the
   remaining formats (webp/avif, MP3/AAC, MP4/H.264 — genuinely
   codec-library territory); on a real cluster you plug Pillow/ffmpeg via
@@ -375,6 +377,18 @@ def decode_audio_bytes(data: bytes, extra=()) -> tuple[int, np.ndarray]:
         out = dec(data)
         if out is not None:
             return out
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        sr, bps, pcm = decode_flac(data)
+        mono = pcm.astype(np.int64)
+        if mono.shape[1] > 1:
+            mono = mono.mean(axis=1).astype(np.int64)
+        else:
+            mono = mono.reshape(-1)
+        if bps != 16:  # scale to the 16-bit range the stage standardizes on
+            mono = mono >> (bps - 16) if bps > 16 else mono << (16 - bps)
+        return sr, mono.astype(np.int16)
     raise NotImplementedError(
         "compressed audio codecs (MP3/AAC) not available in this container; "
         "register one via multimodal.register_decoder('audio', fn)"

@@ -800,3 +800,114 @@ def test_jpeg_progressive_through_spark_image_features(spark):
     for i, _, px in rows:
         assert (feats[i]["width"], feats[i]["height"]) == (16, 8)
         assert abs(feats[i]["mean_luma"] - px.mean()) <= 2
+
+
+# --- FLAC (lossless audio, RFC 9639) -----------------------------------------
+
+def _flac_fixture_pcm(n=3000, sr=16000, seed=51):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    return (
+        (np.sin(2 * np.pi * 440 * t / sr) * 9000).astype(np.int64)
+        + rng.integers(-60, 60, n)
+    )
+
+
+def test_flac_exact_round_trip_all_paths():
+    """FLAC is lossless: decode(encode(pcm)) must equal pcm EXACTLY, on
+    every subframe/residual/stereo variant the decoder implements."""
+    from entity_resolution_spark.operators.flac import decode_flac, encode_flac
+
+    mono = _flac_fixture_pcm()
+    variants = [
+        dict(),
+        dict(subframe_mode="verbatim"),
+        dict(subframe_mode="verbatim", wasted_bits=3),
+        dict(partition_order=2),
+        dict(force_escape=True),
+        dict(rice2=True),
+        dict(block_size=192),
+    ]
+    for kw in variants:
+        pcm = (mono & ~7) if kw.get("wasted_bits") else mono
+        sr, bps, out = decode_flac(encode_flac(16000, pcm, **kw))
+        assert (sr, bps) == (16000, 16)
+        assert np.array_equal(out[:, 0], pcm), kw
+
+    left = _flac_fixture_pcm(seed=52)
+    right = left + np.random.default_rng(53).integers(-200, 200, len(left))
+    st = np.stack([left, right], axis=1)
+    for mode in ["independent", "mid_side", "left_side", "right_side"]:
+        sr, bps, out = decode_flac(
+            encode_flac(8000, st, stereo_mode=mode, block_size=512)
+        )
+        assert np.array_equal(out, st), mode
+
+    # constant (silence) blocks
+    sil = np.zeros(700, dtype=np.int64)
+    _, _, out = decode_flac(encode_flac(44100, sil))
+    assert np.array_equal(out[:, 0], sil)
+
+
+def test_flac_matches_planted_wav():
+    """Same PCM through the WAV path and the FLAC path must agree
+    sample-for-sample after the shared mono/int16 normalization."""
+    from entity_resolution_spark.operators.flac import encode_flac
+
+    pcm = _flac_fixture_pcm().astype(np.int16)
+    sr_w, wav_mono = MM.decode_audio_bytes(MM.encode_wav(16000, pcm))
+    sr_f, flac_mono = MM.decode_audio_bytes(
+        encode_flac(16000, pcm.astype(np.int64))
+    )
+    assert sr_w == sr_f == 16000
+    assert np.array_equal(wav_mono, flac_mono)
+
+
+def test_flac_truncation_raises_contract_error():
+    from entity_resolution_spark.operators.flac import decode_flac, encode_flac
+
+    data = encode_flac(16000, _flac_fixture_pcm(n=1500), block_size=256)
+    for cut in range(4, len(data), 11):
+        try:
+            decode_flac(data[:cut])
+        except NotImplementedError:
+            pass  # the documented corrupt/truncated-input signal
+
+
+def test_flac_crc_corruption_detected():
+    from entity_resolution_spark.operators.flac import decode_flac, encode_flac
+
+    data = bytearray(encode_flac(16000, _flac_fixture_pcm(n=500)))
+    # flip a bit inside the first frame's entropy data
+    data[len(data) // 2] ^= 0x10
+    with pytest.raises(NotImplementedError, match="FLAC"):
+        decode_flac(bytes(data))
+
+
+def test_flac_spectral_features_through_spark(spark):
+    """audio_features + audio_spectral_features over a FLAC column find
+    the planted tone, matching the same PCM delivered as WAV."""
+    from entity_resolution_spark.operators.flac import encode_flac
+
+    sr = 16000
+    t = np.arange(sr)
+    pcm = (np.sin(2 * np.pi * 440 * t / sr) * 10000).astype(np.int64)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_flac(sr, pcm))),
+            (2, bytearray(MM.encode_wav(sr, pcm.astype(np.int16)))),
+        ],
+        "doc_id long, audio binary",
+    )
+    feats = {r["doc_id"]: r for r in MM.audio_features(df).collect()}
+    assert feats[1]["sample_rate"] == sr and feats[1]["n_samples"] == sr
+    assert abs(feats[1]["duration_s"] - 1.0) < 1e-9
+    assert abs(feats[1]["rms"] - feats[2]["rms"]) < 1e-9
+    spec = {r["doc_id"]: r for r in MM.audio_spectral_features(df).collect()}
+    for c in spec[1].asDict():
+        if c == "doc_id":
+            continue
+        assert abs(spec[1][c] - spec[2][c]) < 1e-6, c
+    # the dominant bin sits at the planted tone (frame=512 @ 16 kHz
+    # gives 31.25 Hz bins; 440 Hz lands in the 437.5 Hz bin)
+    assert abs(spec[1]["dominant_hz"] - 440.0) < 31.25

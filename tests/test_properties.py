@@ -303,3 +303,26 @@ def test_jpeg_progressive_equals_baseline_property(shape, quant, rnd):
     prog = decode_jpeg(encode_jpeg_progressive_gray(px, quant=quant))
     assert base[:2] == prog[:2] == (w, h)
     assert np.array_equal(base[2], prog[2])
+
+
+@given(
+    st.integers(64, 900), st.sampled_from([1, 2]),
+    st.sampled_from(["independent", "mid_side", "left_side", "right_side"]),
+    st.integers(0, 2), st.randoms(use_true_random=False),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_round_trip_property(n, n_ch, stereo_mode, porder, rnd):
+    """Losslessness is unconditional: any PCM, any length/channel/stereo
+    mode/partition order, decode(encode(x)) == x exactly."""
+    from entity_resolution_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    pcm = rng.integers(-32768, 32768, size=(n, n_ch)).astype(np.int64)
+    if n_ch == 1:
+        pcm = pcm[:, 0]
+        stereo_mode = "independent"
+    data = encode_flac(16000, pcm, block_size=256, stereo_mode=stereo_mode,
+                       partition_order=porder)
+    sr, bps, out = decode_flac(data)
+    want = pcm if pcm.ndim == 2 else pcm[:, None]
+    assert sr == 16000 and np.array_equal(out, want)
