@@ -75,6 +75,7 @@ HEADLINE = [
     "distinct_token_kmv",
     "hll_distinct_tokens",
     "dup_spans",
+    "dup_spans_exact",
     "pack_sequences",
     "packed_corpus",
     "url_dedup",

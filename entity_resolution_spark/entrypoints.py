@@ -639,6 +639,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_doc(spark, sf_dir))
 
 
+def q_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-refined duplicated spans: a merge step p→p+1 additionally
+    requires the 9-gram at p to be duplicated, so a span certifies a
+    contiguous duplicated string (single-partner case) instead of merely a
+    run of independently-duplicated 8-grams — one join closer to Lee et
+    al.'s suffix-array semantics, same hash-only shuffle."""
+    from .operators.dedup import duplicated_spans
+
+    return duplicated_spans(_doc(spark, sf_dir), refine_boundaries=True)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-budget training-sequence packing (next-fit within hash-ordered
     shards) over the documents table: budget 512 whitespace tokens,
@@ -1365,6 +1376,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "distinct_token_kmv": q_distinct_token_kmv,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "dup_spans": q_dup_spans,
+        "dup_spans_exact": q_dup_spans_exact,
         "pack_sequences": q_pack_sequences,
         "packed_corpus": q_packed_corpus,
         "url_dedup": q_url_dedup,
@@ -2868,6 +2880,65 @@ def oracle_sql() -> dict[str, str]:
                      pos - row_number() OVER (PARTITION BY doc_id
                                               ORDER BY pos) AS island
               FROM cov
+            )
+            SELECT doc_id, min(pos)::BIGINT AS start_tok,
+                   (max(pos) + 7)::BIGINT AS end_tok,
+                   count(*)::BIGINT AS n_grams
+            FROM isl GROUP BY doc_id, island
+        """,
+        "dup_spans_exact": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(toks[i:i+7], ' ')) AS gram_md5
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) r
+              WHERE len(toks) >= 8
+            ),
+            dup AS (
+              SELECT gram_md5 FROM pos
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+              SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram_md5)
+            ),
+            pos2 AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(toks[i:i+8], ' ')) AS g2
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, len(toks) - 7)) AS i) r
+              WHERE len(toks) >= 9
+            ),
+            dup2 AS (
+              SELECT g2 FROM pos2
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ),
+            linked AS (
+              SELECT p.doc_id, p.pos, TRUE AS lk
+              FROM pos2 p JOIN dup2 USING (g2)
+            ),
+            cov2 AS (
+              SELECT c.doc_id, c.pos, coalesce(l.lk, FALSE) AS lk
+              FROM cov c
+              LEFT JOIN linked l ON c.doc_id = l.doc_id AND c.pos = l.pos
+            ),
+            runs AS (
+              SELECT doc_id, pos, lk,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR lag(pos) OVER w <> pos - 1
+                            OR NOT lag(lk) OVER w
+                          THEN 1 ELSE 0 END AS brk
+              FROM cov2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM runs
             )
             SELECT doc_id, min(pos)::BIGINT AS start_tok,
                    (max(pos) + 7)::BIGINT AS end_tok,

@@ -598,6 +598,7 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_positions: bool = True,
+    refine_boundaries: bool = False,
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans (the removable-span
     primitive of Lee et al., "Deduplicating Training Data Makes Language
@@ -624,23 +625,40 @@ def duplicated_spans(
     before its two consumers (the dup aggregate and the coverage join) —
     otherwise the tokenize+md5 projection runs twice; measured at sf0.1:
     ~5.5 s vs ~9.2 s (A/B, 3 reps each, quiet local[32]).
+
+    ``refine_boundaries`` closes the main approximation of plain L-gram
+    islands: consecutive covered positions p and p+1 merge into one span
+    even when no single duplicated string of length L+1 exists (p's gram
+    duplicated against one partner, p+1's against another).  With the
+    refinement on, a merge step p→p+1 additionally requires the
+    (L+1)-gram at p to be duplicated in >= ``min_docs`` docs — the
+    "neighboring gram hash" join — so a span of n_grams=k certifies a
+    duplicated string of exactly start..end tokens whenever the span is
+    witnessed by a single partner.  Remaining (documented) gap vs Lee et
+    al.'s suffix array: a chain whose every (L+1)-step is duplicated but
+    against DIFFERENT partners still merges, and duplicates shorter than
+    L tokens are still invisible.  Cost: one more hash-only projection +
+    aggregate + equi-join, same window — the scale shape is unchanged.
     """
     from pyspark.sql.window import Window
 
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    grams = F.when(
-        n >= gram_tokens,
-        F.transform(
-            F.sequence(F.lit(0), n - gram_tokens),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i + 1, gram_tokens))
+
+    def gram_array(length: int):
+        return F.when(
+            n >= length,
+            F.transform(
+                F.sequence(F.lit(0), n - length),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i + 1, length))
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
     pos = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(grams).alias("pos", "gram_md5"),
+        F.posexplode(gram_array(gram_tokens)).alias("pos", "gram_md5"),
     )
     if materialize_positions:
         pos = pos.localCheckpoint(eager=False)
@@ -652,9 +670,45 @@ def duplicated_spans(
     )
     covered = pos.join(dup, "gram_md5").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = covered.withColumn(
-        "_island", F.col("pos") - F.row_number().over(w)
-    )
+    if not refine_boundaries:
+        islands = covered.withColumn(
+            "_island", F.col("pos") - F.row_number().over(w)
+        )
+    else:
+        pos2 = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(gram_array(gram_tokens + 1)).alias("pos", "g2"),
+        )
+        if materialize_positions:
+            pos2 = pos2.localCheckpoint(eager=False)
+        dup2 = (
+            pos2.groupBy("g2")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("g2")
+        )
+        linked = (
+            pos2.join(dup2, "g2")
+            .select("doc_id", "pos", F.lit(True).alias("_lk"))
+        )
+        cov2 = covered.join(linked, ["doc_id", "pos"], "left").withColumn(
+            "_lk", F.coalesce(F.col("_lk"), F.lit(False))
+        )
+        cov2 = cov2.withColumn(
+            "_brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.lag("pos").over(w) != F.col("pos") - 1)
+                | (~F.lag("_lk").over(w)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        islands = cov2.withColumn(
+            "_island",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     return (
         islands.groupBy("doc_id", "_island")
         .agg(

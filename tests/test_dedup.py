@@ -219,3 +219,77 @@ def test_duplicated_spans_merging_and_thresholds(spark):
     # two disjoint spans, not merged across the gap
     assert out[4] == [(0, 7, 1), (10, 17, 1)]
     assert out[5] == [(1, 8, 1), (10, 17, 1)]
+
+
+def test_duplicated_spans_refined_exact_length(spark):
+    """Two docs share a span of exactly L+2 = 10 tokens with differing
+    neighbors on both sides: the refined operator reports exactly that
+    span (start/end/n_grams), nothing wider."""
+    from entity_resolution_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 tokens = 3 8-grams
+    doc_a = " ".join(f"a{i}" for i in range(6)) + " " + shared + " " + \
+        " ".join(f"A{i}" for i in range(6))
+    doc_b = " ".join(f"b{i}" for i in range(4)) + " " + shared + " " + \
+        " ".join(f"B{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in duplicated_spans(
+            df, gram_tokens=8, refine_boundaries=True
+        ).collect()
+    }
+    assert got == {1: (6, 15, 3), 2: (4, 13, 3)}
+
+
+def test_duplicated_spans_refinement_splits_false_merges(spark):
+    """Doc A's 8-gram at p duplicates against B, its 8-gram at p+1 against
+    C, but NO 9-token string is shared with anyone. Plain islands merge
+    p and p+1 into one 9-token span (overstating the duplicate); the
+    boundary refinement reports two overlapping 8-token spans instead."""
+    from entity_resolution_spark.operators.dedup import duplicated_spans
+
+    t = [f"t{i}" for i in range(9)]  # t0..t8
+    doc_a = " ".join([f"a{i}" for i in range(4)] + t
+                     + [f"A{i}" for i in range(4)])
+    doc_b = " ".join([f"b{i}" for i in range(4)] + t[:8]
+                     + [f"B{i}" for i in range(4)])  # t0..t7 then b-junk
+    doc_c = " ".join([f"c{i}" for i in range(4)] + t[1:]
+                     + [f"C{i}" for i in range(4)])  # c-junk then t1..t8
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+
+    plain = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in duplicated_spans(df, gram_tokens=8).collect()
+    }
+    # unrefined: A's covered positions 4 and 5 merge into ONE claimed
+    # 9-token duplicated span even though t0..t8 exists only in A
+    assert (1, 4, 12, 2) in plain
+
+    refined = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in duplicated_spans(
+            df, gram_tokens=8, refine_boundaries=True
+        ).collect()
+    }
+    assert (1, 4, 11, 1) in refined and (1, 5, 12, 1) in refined
+    assert (1, 4, 12, 2) not in refined
+    # B and C each still report their genuine 8-token spans
+    assert (2, 4, 11, 1) in refined and (3, 4, 11, 1) in refined
+
+
+def test_duplicated_spans_refined_partition_invariance(spark):
+    from entity_resolution_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [(i, f"u{i}x u{i}y " + shared + f" z{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, duplicated_spans(
+        df, refine_boundaries=True).collect()))
+    b = sorted(map(tuple, duplicated_spans(
+        df.repartition(13), refine_boundaries=True).collect()))
+    assert a == b and len(a) == 6
