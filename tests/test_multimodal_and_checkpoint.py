@@ -911,3 +911,110 @@ def test_flac_spectral_features_through_spark(spark):
     # the dominant bin sits at the planted tone (frame=512 @ 16 kHz
     # gives 31.25 Hz bins; 440 Hz lands in the 437.5 Hz bin)
     assert abs(spec[1]["dominant_hz"] - 440.0) < 31.25
+
+
+# --- register_decoder integration examples (round-5 item 8) ------------------
+
+def test_registered_decoder_overrides_builtin_on_decodable_fixture(spark):
+    """Strict precedence on a fixture the BUILT-IN codec could also decode:
+    a registered decoder claiming JPEG magic must win over operators/jpeg.py
+    (the CLAUDE.md ordering invariant — plugging Pillow in replaces the
+    pure-python path, it doesn't race it)."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    real = encode_jpeg_gray(np.full((8, 8), 77, dtype=np.uint8))
+
+    def sentinel_jpeg_decoder(data):
+        if data[:2] != b"\xff\xd8":
+            return None
+        return 1, 1, np.array([[255]], dtype=np.uint8)  # unmistakable
+
+    # built-in path first: real dimensions
+    w, h, px = MM.decode_image_bytes(real)
+    assert (w, h) == (8, 8) and abs(int(px.mean()) - 77) <= 2
+    MM.register_decoder("image", sentinel_jpeg_decoder)
+    try:
+        assert MM.decode_image_bytes(real)[:2] == (1, 1)
+        # and through the Spark operator (closure ships by value)
+        df = spark.createDataFrame(
+            [(1, bytearray(real))], "doc_id long, image binary"
+        )
+        r = MM.image_features(df).collect()[0]
+        assert (r["width"], r["height"], r["mean_luma"]) == (1, 1, 255.0)
+    finally:
+        MM.clear_decoders("image")
+    assert MM.decode_image_bytes(real)[:2] == (8, 8)  # built-in restored
+
+
+def test_mp3_plug_point_on_realistic_frame_bytes(spark):
+    """MP3 stays a plug-point format (a pure-python MPEG-1 Layer III
+    decoder is out of scope) — this pins the integration contract on
+    REALISTIC bytes: an MPEG frame-sync header (0xFFFB, 128 kbps, 44.1 kHz)
+    that no built-in codec claims, routed to the registered decoder
+    end-to-end through audio_features, and the documented plug-point error
+    without one."""
+    # 4-byte MPEG-1 Layer III header + fake payload standing in for
+    # entropy data; only the registered decoder understands it
+    frame = b"\xff\xfb\x90\x00" + np.arange(64, dtype=np.int16).tobytes()
+
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        MM.decode_audio_bytes(frame)
+
+    def mp3_decoder(data):
+        if data[:2] != b"\xff\xfb":
+            return None
+        return 44100, np.frombuffer(data[4:], dtype=np.int16)
+
+    MM.register_decoder("audio", mp3_decoder)
+    try:
+        df = spark.createDataFrame(
+            [(1, bytearray(frame))], "doc_id long, audio binary"
+        )
+        r = MM.audio_features(df).collect()[0]
+        assert (r["sample_rate"], r["n_samples"]) == (44100, 64)
+    finally:
+        MM.clear_decoders("audio")
+
+
+def test_pillow_integration_example_if_importable(spark):
+    """The real-library wiring, exactly as a deployment would do it; skips
+    cleanly when Pillow isn't in the container (it isn't in this sandbox —
+    the test documents and guards the recipe, the sentinel test above
+    proves the precedence mechanics)."""
+    Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
+    import io as _io
+
+    def pillow_decoder(data):
+        try:
+            img = Image.open(_io.BytesIO(data)).convert("L")
+        except Exception:
+            return None
+        px = np.asarray(img, dtype=np.uint8)
+        return img.width, img.height, px
+
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+
+    real = encode_jpeg_gray(np.full((8, 8), 50, dtype=np.uint8))
+    MM.register_decoder("image", pillow_decoder)
+    try:
+        w, h, px = MM.decode_image_bytes(real)
+        assert (w, h) == (8, 8) and abs(int(px.mean()) - 50) <= 2
+    finally:
+        MM.clear_decoders("image")
+
+
+def test_pydub_mp3_integration_example_if_importable(spark):
+    pydub = pytest.importorskip("pydub", reason="pydub not installed")
+    import io as _io
+
+    def pydub_mp3_decoder(data):
+        if data[:3] != b"ID3" and data[:2] != b"\xff\xfb":
+            return None
+        seg = pydub.AudioSegment.from_file(_io.BytesIO(data), format="mp3")
+        pcm = np.array(seg.get_array_of_samples(), dtype=np.int16)
+        if seg.channels > 1:
+            pcm = pcm.reshape(-1, seg.channels).mean(axis=1).astype(np.int16)
+        return seg.frame_rate, pcm
+
+    MM.register_decoder("audio", pydub_mp3_decoder)
+    MM.clear_decoders("audio")
