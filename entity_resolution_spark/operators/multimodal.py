@@ -15,10 +15,12 @@ codec step is pluggable:
   uncompressed BMP (8-bit palette and 24-bit BGR), binary PGM (P5) /
   PPM (P6), RIFF/WAVE PCM-16 audio, FLAC lossless audio
   (operators/flac.py — RFC 9639 fixed/LPC prediction + Rice coding),
-  and MJPEG-in-AVI video — parsed with ``zlib``/``struct``/``numpy``
-  only, and
+  and MJPEG video in both AVI and MP4/ISO-BMFF containers
+  (operators/mp4.py walks the full stsd/stsz/stsc/stco sample table;
+  compressed-codec samples like avc1 stay behind the plug point) —
+  parsed with ``zlib``/``struct``/``numpy`` only, and
 * a clearly-marked hook that raises ``NotImplementedError`` for the
-  remaining formats (webp/avif, MP3/AAC, MP4/H.264 — genuinely
+  remaining formats (webp/avif, MP3/AAC, H.264/HEVC samples — genuinely
   codec-library territory); on a real cluster you plug Pillow/ffmpeg via
   ``register_decoder`` WITHOUT touching any Spark code, and registered
   decoders override the built-in pure-python paths.
@@ -482,6 +484,10 @@ def decode_video_bytes(data: bytes, extra=()) -> tuple[int, int, list[np.ndarray
             return out
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return _decode_avi_mjpeg(data)
+    if data[4:8] == b"ftyp":
+        from .mp4 import decode_mp4_mjpeg
+
+        return decode_mp4_mjpeg(data)
     raise NotImplementedError(
         "unrecognized video container; register a codec via "
         "multimodal.register_decoder('video', fn)"

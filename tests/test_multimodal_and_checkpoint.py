@@ -1018,3 +1018,75 @@ def test_pydub_mp3_integration_example_if_importable(spark):
 
     MM.register_decoder("audio", pydub_mp3_decoder)
     MM.clear_decoders("audio")
+
+
+# --- MP4 / ISO-BMFF (Motion-JPEG) --------------------------------------------
+
+def test_mp4_mjpeg_round_trip_and_frame_sample(spark):
+    """Real container #2: Motion-JPEG MP4 through the full sample-table
+    walk (stsd/stsz/stsc/stco) + the Spark frame-sampling operator."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+    from entity_resolution_spark.operators.mp4 import encode_mp4_mjpeg
+
+    rng = np.random.default_rng(61)
+    frames = [rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+              for _ in range(6)]
+    mp4 = encode_mp4_mjpeg([encode_jpeg_gray(f, quant=1) for f in frames],
+                           24, 16)
+    w, h, got = MM.decode_video_bytes(mp4)
+    assert (w, h, len(got)) == (24, 16, 6)
+    for a, b in zip(frames, got):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+    df = spark.createDataFrame(
+        [(3, bytearray(mp4))], "doc_id long, video binary"
+    )
+    sampled = MM.video_frame_sample(df, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2, 4]
+
+
+def test_mp4_chunked_and_co64_layouts():
+    """Multi-chunk stsc runs (ragged final chunk = second run) and 64-bit
+    co64 offsets decode identically to the single-chunk layout."""
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+    from entity_resolution_spark.operators.mp4 import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+    )
+
+    rng = np.random.default_rng(62)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+              for _ in range(7)]
+    jpegs = [encode_jpeg_gray(f, quant=1) for f in frames]
+    base = decode_mp4_mjpeg(encode_mp4_mjpeg(jpegs, 8, 8))
+    for kw in [dict(samples_per_chunk=3), dict(samples_per_chunk=2),
+               dict(use_co64=True), dict(samples_per_chunk=3, use_co64=True)]:
+        w, h, got = decode_mp4_mjpeg(encode_mp4_mjpeg(jpegs, 8, 8, **kw))
+        assert (w, h, len(got)) == (8, 8, 7), kw
+        for a, b in zip(base[2], got):
+            assert np.array_equal(a, b), kw
+
+
+def test_mp4_contract_errors():
+    from entity_resolution_spark.operators.jpeg import encode_jpeg_gray
+    from entity_resolution_spark.operators.mp4 import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+    )
+
+    rng = np.random.default_rng(63)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+              for _ in range(3)]
+    mp4 = encode_mp4_mjpeg([encode_jpeg_gray(f) for f in frames], 8, 8)
+    # truncation sweep: contract error or success, never internal types
+    for cut in range(8, len(mp4), 13):
+        try:
+            decode_mp4_mjpeg(mp4[:cut])
+        except NotImplementedError:
+            pass
+    # compressed codec names the fourcc and points at the plug point
+    bad = bytearray(mp4)
+    i = bad.find(b"jpeg", bad.find(b"stsd"))
+    bad[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_mjpeg(bytes(bad))
