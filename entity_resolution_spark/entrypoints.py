@@ -127,7 +127,7 @@ _EDGES_SQL = f"""
 
 _TOKENS_SQL = """
     tokens AS (
-        SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        SELECT DISTINCT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS tok
         FROM documents
     ),
     toksz AS (SELECT doc_id, count(*) AS n_tok FROM tokens GROUP BY 1)
@@ -1598,9 +1598,9 @@ def _prepared_corpus_sql() -> str:
                 SELECT doc_id, length(text) AS n,
                        length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
                            / greatest(length(text), 1) AS punct_ratio,
-                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
                            x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
-                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           / greatest(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
                                       x -> x <> '')), 1) AS sw_ratio
                 FROM cleaned
             ),
@@ -1614,7 +1614,7 @@ def _prepared_corpus_sql() -> str:
             ),
             ltoks AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '\\s+'),
+                       list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
                                    x -> x <> '') AS t
                 FROM cleaned
             ),
@@ -1654,7 +1654,7 @@ def _prepared_corpus_sql() -> str:
             tok AS (
                 SELECT DISTINCT doc_id, tok FROM (
                     SELECT doc_id,
-                           unnest(string_split_regex(text, '\\s+')) AS tok
+                           unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS tok
                     FROM filt
                 ) WHERE tok <> ''
             ),
@@ -1691,7 +1691,7 @@ def _prepared_corpus_sql() -> str:
             ),
             fp AS (
                 SELECT doc_id AS id,
-                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g')))
                          AS fp
                 FROM filt
             ),
@@ -1744,7 +1744,7 @@ def _hll_sql() -> str:
     num = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
     return f"""
             WITH lst AS (
-                SELECT list_filter(string_split_regex(text, '\\s+'),
+                SELECT list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
                                    t -> t <> '') AS toks
                 FROM documents
             ),
@@ -1800,7 +1800,7 @@ _SIG_SQL = f"WITH {_TOKENS_SQL} SELECT doc_id, {_MINHASH_COLS} FROM tokens GROUP
 _NE_TOKENS_SQL = """
     tok AS (
         SELECT DISTINCT doc_id, tok FROM (
-            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS tok
             FROM documents
         ) WHERE tok <> ''
     ),
@@ -1878,7 +1878,7 @@ def _keep_list_sql(jaccard_threshold: float = 0.8) -> str:
         ),
         fp AS (
             SELECT doc_id AS id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                   md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS fp
             FROM documents
         ),
         fpmin AS (SELECT fp, min(id) AS keep FROM fp GROUP BY 1),
@@ -2513,7 +2513,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT component_id, count(*) AS n_records FROM assign GROUP BY 1
         """,
         "exact_dedup": """
-            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+            SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS fp,
                    count(*) AS dup_count, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1
         """,
@@ -2554,16 +2554,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": """
             WITH tok AS (
-                SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+                SELECT doc_id, string_split_regex(text, '[ \\t\\n\\r\\f]+') AS toks FROM documents
             )
             SELECT d.doc_id,
                    len(list_filter(t.toks, x -> x <> '')) AS n_tokens,
                    len(list_distinct(list_filter(t.toks, x -> x <> ''))) AS n_distinct,
                    length(d.text) AS n_len,
                    round(
-                     len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                     len(list_filter(string_split_regex(lower(d.text), '[ \\t\\n\\r\\f]+'),
                          x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
-                     / greatest(len(list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '')), 1),
+                     / greatest(len(list_filter(string_split_regex(lower(d.text), '[ \\t\\n\\r\\f]+'), x -> x <> '')), 1),
                      6) AS stopword_ratio
             FROM documents d JOIN tok t ON d.doc_id = t.doc_id
         """,
@@ -2676,7 +2676,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EDGES_SQL},
             pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
             terms AS (
-                SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+                SELECT doc_id AS id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS term
                 FROM documents
             ),
             tf AS (SELECT id, term AS term_key, count(*) AS tf
@@ -2704,9 +2704,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text, length(text) AS n,
                        length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
                            / greatest(length(text), 1) AS punct_ratio,
-                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
                            x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
-                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           / greatest(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
                                       x -> x <> '')), 1) AS sw_ratio
                 FROM documents
             )
@@ -2718,7 +2718,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_guess": """
             WITH toks AS (
-                SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
                 FROM documents
             ),
             scores AS (
@@ -2781,7 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": r"""
             WITH lst AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(text, '\s+'),
+                       list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                    t -> t <> '') AS toks
                 FROM documents
             ),
@@ -2809,7 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": r"""
             WITH d AS (
               SELECT doc_id,
-                     len(list_filter(string_split_regex(text, '\s+'),
+                     len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                      t -> t <> ''))::BIGINT AS n_tokens,
                      ('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR),
                                      1, 15))::BIGINT AS h
@@ -2830,7 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_corpus": r"""
             WITH d AS (
               SELECT doc_id, text,
-                     len(list_filter(string_split_regex(text, '\s+'),
+                     len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                      t -> t <> ''))::BIGINT AS n_tokens,
                      ('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR),
                                      1, 15))::BIGINT AS h
@@ -2857,7 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": r"""
             WITH tok AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'),
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                  t -> t <> '') AS toks
               FROM documents
             ),
@@ -2889,7 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans_exact": r"""
             WITH tok AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(text, '\s+'),
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                  t -> t <> '') AS toks
               FROM documents
             ),
@@ -2947,7 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_token_kmv": r"""
             WITH lst AS (
-                SELECT list_filter(string_split_regex(text, '\s+'),
+                SELECT list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                    t -> t <> '') AS toks
                 FROM documents
             ),
@@ -2971,9 +2971,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, length(text) AS n,
                        length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
                            / greatest(length(text), 1) AS punct_ratio,
-                       len(list_filter(string_split_regex(lower(text), '\s+'),
+                       len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                            x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
-                           / greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+                           / greatest(len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                                       x -> x <> '')), 1) AS sw_ratio
                 FROM documents
             ),
@@ -2987,7 +2987,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             ltoks AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '\s+'),
+                       list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                                    x -> x <> '') AS t
                 FROM documents
             ),
@@ -3020,7 +3020,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT d.doc_id,
                        'site' || (d.doc_id % 40)::VARCHAR || '.example.com'
                          AS host,
-                       len(list_filter(string_split_regex(d.text, '\s+'),
+                       len(list_filter(string_split_regex(d.text, '[ \t\n\r\f]+'),
                                        t -> t <> ''))::BIGINT AS n_tokens,
                        q.q_micro, lb.lang
                 FROM documents d
@@ -3196,7 +3196,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EDGES_SQL},
             pruned AS (SELECT id1, id2 FROM edges WHERE weight > 1.5),
             terms AS (
-                SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+                SELECT doc_id AS id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS term
                 FROM documents
             ),
             tf AS (SELECT id, term AS term_key, count(*) AS tf
@@ -3308,7 +3308,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": """
             WITH lst AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(text, '\\s+'),
+                       list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
                                    t -> t <> '') AS toks
                 FROM documents
             ),
@@ -3347,7 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dups": """
             WITH lst AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(text, '\\s+'),
+                       list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
                                    t -> t <> '') AS toks
                 FROM documents
             ),
@@ -3419,9 +3419,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, length(text) AS n,
                        length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::double
                            / greatest(length(text), 1) AS punct_ratio,
-                       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
                            x -> x IN ('the','and','of','to','in','is','that','for','with','was')))::double
-                           / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           / greatest(len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
                                       x -> x <> '')), 1) AS sw_ratio
                 FROM documents
             ),
@@ -3433,7 +3433,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             ),
             toks AS (
-                SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), x -> x <> '') AS t
                 FROM documents
             ),
             lscores AS (
@@ -3462,7 +3462,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             lst AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+                       list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), t -> t <> '') AS toks
                 FROM documents
             ),
             tok AS (

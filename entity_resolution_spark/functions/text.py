@@ -72,8 +72,15 @@ STOPWORDS = {
 
 
 def tokens(text_col: Column) -> Column:
-    """Whitespace tokenization, empty tokens removed (JVM-side)."""
-    return F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokenization, empty tokens removed (JVM-side).
+
+    Boundary is the explicit class ``[ \\t\\n\\r\\f]+`` rather than
+    ``\\s+``: Java regex ``\\s`` matches ``\\x0B`` (vertical tab) while
+    DuckDB's RE2 ``\\s`` does not, and every oracle pair must agree on
+    token boundaries for ANY input, not just the synthetic corpora."""
+    return F.filter(
+        F.split(text_col, r"[ \t\n\r\f]+"), lambda t: t != F.lit("")
+    )
 
 
 def token_count(text_col: Column) -> Column:
@@ -145,11 +152,11 @@ def lang_guess(text_col: Column) -> Column:
 def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: 64-bit hash of the normalized text
     (lowercase, whitespace collapsed) — exact-dup detection key."""
-    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(text_col), r"[ \t\n\r\f]+", " "))
     return F.xxhash64(norm)
 
 
 def md5_fingerprint(text_col: Column) -> Column:
     """md5 variant of the fingerprint (shared with the DuckDB oracle)."""
-    norm = F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(text_col), r"[ \t\n\r\f]+", " "))
     return F.md5(norm)

@@ -33,7 +33,7 @@ from ..functions.text import md5_fingerprint, tokens
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        F.explode(F.split(F.col(text_col), r"[ \t\n\r\f]+")).alias("tok"),
     ).where(F.col("tok") != "").distinct()
 
 

@@ -402,6 +402,17 @@ def _decode_block(br, dc_t, ac_t, q, pred, ci):
 # Progressive (SOF2) scan accumulation — T.81 Annex G
 # ---------------------------------------------------------------------------
 
+def _comp_extent(frame, c):
+    """(cw, ch) pixel extent of component c's own samples (A.2.2)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    return (
+        (w * c["h"] + hmax - 1) // hmax,
+        (h * c["v"] + vmax - 1) // vmax,
+    )
+
+
 def _comp_geometry(frame, c):
     """((ni_bxn, ni_byn), (mcu_bxn, mcu_byn)) block-grid sizes for comp c:
     the non-interleaved grid covers just the component's own samples
@@ -409,8 +420,7 @@ def _comp_geometry(frame, c):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(cc["h"] for cc in comps)
     vmax = max(cc["v"] for cc in comps)
-    cw = (w * c["h"] + hmax - 1) // hmax
-    ch = (h * c["v"] + vmax - 1) // vmax
+    cw, ch = _comp_extent(frame, c)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     return ((cw + 7) // 8, (ch + 7) // 8), (mcux * c["h"], mcuy * c["v"])
@@ -624,8 +634,7 @@ def _reconstruct_progressive(frame, state, qt):
     blocks = nat.reshape(byn, bxn, 8, 8)
     idct = np.einsum("ux,yzuv,vw->yzxw", _M, blocks, _M) + 128.0
     plane = idct.transpose(0, 2, 1, 3).reshape(byn * 8, bxn * 8)
-    cw = (w * c["h"] + hmax - 1) // hmax
-    ch = (h * c["v"] + vmax - 1) // vmax
+    cw, ch = _comp_extent(frame, c)
     y = plane[:ch, :cw]
     fy, fx = vmax // c["v"], hmax // c["h"]
     if fy > 1 or fx > 1:

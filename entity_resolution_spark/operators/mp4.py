@@ -73,7 +73,8 @@ def mp4_video_samples(data: bytes) -> tuple[bytes, int, int, list[tuple[int, int
         return _mp4_video_samples_impl(data)
     except NotImplementedError:
         raise
-    except (IndexError, ValueError, struct.error) as e:
+    except (IndexError, ValueError, struct.error, OverflowError,
+            MemoryError) as e:
         raise NotImplementedError(f"corrupt MP4 ({type(e).__name__}: {e})") from e
 
 
@@ -118,12 +119,20 @@ def _parse_stbl(data, s, e):
     fourcc = data[entry + 4 : entry + 8]
     width, height = struct.unpack(">HH", data[entry + 32 : entry + 36])
 
-    # stsz: per-sample sizes (or one uniform size)
-    zs, _ = stsz
+    # stsz: per-sample sizes (or one uniform size).  Counts are untrusted
+    # 32-bit fields: bound every allocation by what the file could hold,
+    # or a 12-byte corrupt box would fabricate a multi-GB list (MemoryError
+    # escaping the NotImplementedError contract).
+    zs, ze = stsz
     uniform, n_samples = struct.unpack(">II", data[zs + 4 : zs + 12])
+    if n_samples > len(data) or (uniform and uniform * n_samples > len(data)):
+        raise NotImplementedError("corrupt MP4: stsz sample count/size "
+                                  "exceeds file size")
     if uniform:
         sizes = [uniform] * n_samples
     else:
+        if zs + 12 + 4 * n_samples > ze:
+            raise NotImplementedError("corrupt MP4: stsz table overruns box")
         sizes = list(
             struct.unpack(f">{n_samples}I",
                           data[zs + 12 : zs + 12 + 4 * n_samples])
@@ -153,8 +162,16 @@ def _parse_stbl(data, s, e):
         for i in range(n_runs)
     ]
     spc = []
+    prev_first = 0
     for i, (first, per) in enumerate(runs):
+        # validate BEFORE expanding: corrupt first_chunk values would
+        # otherwise size the replication list from untrusted input
+        if first <= prev_first or first > n_chunks:
+            raise NotImplementedError("corrupt MP4: stsc chunk run out of range")
+        prev_first = first
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        if last < first or last > n_chunks:
+            raise NotImplementedError("corrupt MP4: stsc chunk run out of range")
         spc.extend([per] * (last - first + 1))
     if len(spc) != n_chunks:
         raise NotImplementedError("MP4 stsc/stco chunk count mismatch")

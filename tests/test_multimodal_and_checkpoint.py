@@ -1090,3 +1090,20 @@ def test_mp4_contract_errors():
     bad[i : i + 4] = b"avc1"
     with pytest.raises(NotImplementedError, match="avc1"):
         decode_mp4_mjpeg(bytes(bad))
+    # untrusted 32-bit counts must be bounded BEFORE allocation: a 12-byte
+    # patch claiming 2^31 samples (or an out-of-range stsc run) raises the
+    # contract error instead of fabricating a multi-GB list (MemoryError)
+    import struct as _struct
+
+    from entity_resolution_spark.operators.mp4 import mp4_video_samples
+
+    huge = bytearray(mp4)
+    i = huge.find(b"stsz")
+    huge[i + 8 : i + 16] = _struct.pack(">II", 1, 0x7FFFFFFF)
+    with pytest.raises(NotImplementedError, match="stsz"):
+        mp4_video_samples(bytes(huge))
+    runaway = bytearray(mp4)
+    i = runaway.find(b"stsc")
+    runaway[i + 12 : i + 16] = _struct.pack(">I", 0x7FFFFFF0)
+    with pytest.raises(NotImplementedError, match="stsc"):
+        mp4_video_samples(bytes(runaway))
