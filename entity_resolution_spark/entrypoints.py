@@ -137,7 +137,12 @@ _TOKENS_SQL = """
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _doc(spark, sf_dir)
-        .select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        # explicit class, not \s+: Java \s matches \x0B, DuckDB RE2 \s
+        # doesn't — the token boundary must be engine-independent
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[ \t\n\r\f]+")).alias("tok"),
+        )
         .distinct()
     )
 

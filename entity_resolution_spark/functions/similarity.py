@@ -158,7 +158,11 @@ def tfidf_vectors(
     """
     terms = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        # explicit class, not \s+: Java \s matches \x0B, DuckDB RE2 \s
+        # doesn't — the term boundary must be engine-independent
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")
+        ).alias("term"),
     ).where(F.col("term") != "")
     key = (
         F.pmod(F.xxhash64("term"), F.lit(num_features)).cast("string")

@@ -159,7 +159,10 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
     except NotImplementedError:
         raise
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error) as e:
+            struct.error, OverflowError, MemoryError) as e:
+        # Overflow/MemoryError: CRC-valid but adversarial LPC coefficients
+        # (or huge wasted-bits counts) can grow pure-python ints past int64
+        # before the numpy cast — still "corrupt input" per the contract
         raise NotImplementedError(
             f"corrupt FLAC ({type(e).__name__}: {e})"
         ) from e

@@ -138,25 +138,32 @@ def _parse_stbl(data, s, e):
                           data[zs + 12 : zs + 12 + 4 * n_samples])
         )
 
-    # stco/co64: chunk offsets
+    # stco/co64: chunk offsets (bounded by the box end like stsz — a
+    # corrupt count must not silently read the next box's bytes as offsets)
     if stco is not None:
-        cs, _ = stco
+        cs, ce = stco
         n_chunks = struct.unpack(">I", data[cs + 4 : cs + 8])[0]
+        if cs + 8 + 4 * n_chunks > ce:
+            raise NotImplementedError("corrupt MP4: stco table overruns box")
         offsets = list(
             struct.unpack(f">{n_chunks}I",
                           data[cs + 8 : cs + 8 + 4 * n_chunks])
         )
     else:
-        cs, _ = co64
+        cs, ce = co64
         n_chunks = struct.unpack(">I", data[cs + 4 : cs + 8])[0]
+        if cs + 8 + 8 * n_chunks > ce:
+            raise NotImplementedError("corrupt MP4: co64 table overruns box")
         offsets = list(
             struct.unpack(f">{n_chunks}Q",
                           data[cs + 8 : cs + 8 + 8 * n_chunks])
         )
 
     # stsc: (first_chunk, samples_per_chunk) runs -> samples per chunk
-    ss, _ = stsc
+    ss, se = stsc
     n_runs = struct.unpack(">I", data[ss + 4 : ss + 8])[0]
+    if ss + 8 + 12 * n_runs > se:
+        raise NotImplementedError("corrupt MP4: stsc table overruns box")
     runs = [
         struct.unpack(">III", data[ss + 8 + 12 * i : ss + 20 + 12 * i])[:2]
         for i in range(n_runs)

@@ -113,6 +113,28 @@ def snapshot_versions(root: str) -> list[int]:
     )
 
 
+def published_versions(root: str) -> list[int]:
+    """Sorted versions that completed a publish: the append-only
+    ``PUBLISHED`` log, unioned with whatever ``CURRENT`` names (a crash
+    between the pointer flip and the log append loses the log line, so
+    the pointer is authoritative for the newest version)."""
+    out: set[int] = set()
+    try:
+        with open(os.path.join(root, "PUBLISHED")) as fh:
+            for line in fh:
+                m = _SNAPSHOT_RE.match(line.strip())
+                if m:
+                    out.add(int(m.group(1)))
+    except (FileNotFoundError, NotADirectoryError):
+        pass
+    cur = current_snapshot(root)
+    if cur is not None:
+        out.add(cur)
+    # a log entry whose directory was already expired is stale history
+    present = set(snapshot_versions(root))
+    return sorted(v for v in out if v in present)
+
+
 def current_snapshot(root: str) -> int | None:
     """Version the ``CURRENT`` pointer names, or None for a plain
     (non-snapshot) layout directory."""
@@ -162,9 +184,20 @@ def publish_pages_layout(
     with open(tmp, "w") as fh:
         fh.write(f"v{new_v}\n")
     os.replace(tmp, os.path.join(root, "CURRENT"))
+    # append-only publish log — retention must count PUBLISHED snapshots,
+    # not directories: a crash-orphan v* dir would otherwise displace a
+    # readable snapshot from the retained window
+    with open(os.path.join(root, "PUBLISHED"), "a") as fh:
+        fh.write(f"v{new_v}\n")
     if retain_last is not None and retain_last >= 1:
-        for old in snapshot_versions(root)[:-retain_last]:
-            if old != new_v:
+        kept = set(published_versions(root)[-retain_last:]) | {new_v}
+        cutoff = min(kept)
+        # everything older than the oldest kept PUBLISHED version goes —
+        # published snapshots outside the window and stale orphans alike;
+        # orphans newer than the cutoff are left (a future publish skips
+        # their numbers anyway)
+        for old in snapshot_versions(root):
+            if old < cutoff:
                 shutil.rmtree(os.path.join(root, f"v{old}"),
                               ignore_errors=True)
     return new_v

@@ -110,9 +110,10 @@ def _duck_canon_exprs(cols: list[tuple[str, str]]):
         t = typ.upper()
         if t.startswith("VARCHAR"):
             e = q
-        elif (
-            "INT" in t and "[" not in t
-        ):  # BIGINT/INTEGER/SMALLINT/TINYINT/UBIGINT/HUGEINT
+        elif t in (
+            "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+            "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+        ):  # NOT a substring match: INTERVAL must fall back, not bind-error
             e = f"CAST(CAST({q} AS BIGINT) AS VARCHAR)"
         elif t.startswith(("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
             e = (
@@ -225,9 +226,11 @@ def compare_one(
     sdf_spark = fn(spark, sf_dir)
     if checksum_rows is not None and sql is not None:
         if _spark_canon_exprs(sdf_spark) is not None:
-            n_spark = sdf_spark.count()
-            if n_spark > checksum_rows:
-                ns, x1s, x2s = _spark_checksum(sdf_spark)
+            # one Spark pass: the checksum aggregate also yields the row
+            # count, so the size probe costs nothing extra; only results
+            # small enough to collect pay a (cheap) second execution
+            ns, x1s, x2s = _spark_checksum(sdf_spark)
+            if ns > checksum_rows:
                 duck = run_with_timeout(
                     con, lambda: _duck_checksum(con, sql), oracle_timeout
                 )

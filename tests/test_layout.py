@@ -248,3 +248,42 @@ def test_publish_retain_last_expires_old_snapshots(spark, tmp_path):
     assert snapshot_versions(root) == [2, 3]
     assert read_pages_layout(spark, root).count() == 200
     assert read_pages_snapshot(spark, root, 2).count() == 150
+
+
+def test_retain_last_counts_published_snapshots_not_orphans(spark, tmp_path):
+    """A crash-orphan v* directory must not displace a readable snapshot
+    from the retained window: retention counts PUBLISHED versions (the
+    append-only PUBLISHED log ∪ CURRENT), and orphans newer than the
+    cutoff merely ride along."""
+    import os
+
+    from entity_resolution_spark.sources.layout import (
+        current_snapshot,
+        publish_pages_layout,
+        published_versions,
+        read_pages_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "pages")
+    publish_pages_layout(_pages(spark, n=50), root, n_buckets=N_BUCKETS)
+    # two crash-orphans: directories exist, never published
+    os.makedirs(os.path.join(root, "v1"))
+    os.makedirs(os.path.join(root, "v2"))
+    v = publish_pages_layout(_pages(spark, n=100), root,
+                             n_buckets=N_BUCKETS, retain_last=2)
+    assert v == 3
+    assert published_versions(root) == [0, 3]
+    # retain 2 published snapshots -> v0 stays readable (old behavior
+    # counted the orphans and expired it)
+    assert read_pages_snapshot(spark, root, 0).count() == 50
+    assert current_snapshot(root) == 3
+
+    # a further publish pushes v0 out of the window; orphans older than
+    # the cutoff are swept too
+    v = publish_pages_layout(_pages(spark, n=150), root,
+                             n_buckets=N_BUCKETS, retain_last=2)
+    assert v == 4
+    assert snapshot_versions(root) == [3, 4]
+    assert published_versions(root) == [3, 4]
+    assert read_pages_snapshot(spark, root, 3).count() == 100

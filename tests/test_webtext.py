@@ -445,3 +445,25 @@ def test_top_tokens_boundary_class_is_engine_independent(spark):
         "SELECT string_split_regex(?, '[ \\t\\n\\r\\f]+')", [s]
     ).fetchone()[0]
     assert spark_toks == duck_toks == ["a\x0bb", "c", "d"]
+
+
+def test_tokenizer_call_sites_use_engine_independent_boundary(spark, tmp_path):
+    """Regression for the two Spark-side \\s+ stragglers (entrypoints._tokens
+    and tfidf_vectors' term split): a \\x0B-joined pair must stay ONE unit,
+    matching the DuckDB oracles' [ \\t\\n\\r\\f]+ class."""
+    import entity_resolution_spark.entrypoints as ep
+    from entity_resolution_spark.functions.similarity import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "a\x0bb c"), (2, "a\x0bb d")], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    toks = {
+        r["tok"] for r in ep._tokens(spark, str(tmp_path)).collect()
+    }
+    assert "a\x0bb" in toks and "a" not in toks and "b" not in toks
+
+    vecs = tfidf_vectors(docs, id_col="doc_id", text_col="text", num_features=None)
+    terms = {r["term_key"] for r in vecs.select("term_key").distinct().collect()}
+    assert "a\x0bb" in terms and "a" not in terms and "b" not in terms
