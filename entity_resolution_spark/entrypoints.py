@@ -559,6 +559,30 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # PQ-ADC ANN 
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # IVF ANN (oracled)
+    """IVF coarse-quantizer top-5 for the first 10 vec_ids, in parity mode:
+    fixed (data-independent) 6dp centroids shared with the SQL oracle as
+    literals, float64 arithmetic, 6dp round-before-argmin for the corpus→
+    list assignment and round-before-rank for the probe cut.  n_probe=3 of
+    8 lists exercises the real approx path (most of the corpus is never
+    scored), with the exact-cosine rerank recipe shared by the other ANN
+    oracles."""
+    from .operators.ann import ivf_fixed_centroids, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_fixed_centroids(n_lists=8, dim=64)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        n_lists=8,
+        n_probe=3,
+        centroids=cents,
+        round_to=4,
+        parity=True,
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the documents table: docs with
     ``doc_id % 31 == 0`` play the held-out eval suite, the rest the
@@ -1376,6 +1400,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "encoder_forward": q_encoder_forward,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "contamination_check": q_contamination_check,
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
@@ -2277,6 +2302,76 @@ def _ann_pq_sql(
     """
 
 
+def _ann_ivf_sql(
+    k: int = 5, n_lists: int = 8, n_probe: int = 3, dim: int = 64
+) -> str:
+    """SQL replica of ``q_ann_ivf_topk`` (``ann.ivf_topk`` in parity mode).
+
+    The fixed centroids (``ann.ivf_fixed_centroids``, 6dp doubles) are
+    inlined as a VALUES table; corpus→list assignment is argmin over
+    6dp-rounded expanded L2² (argmin via min over fixed-width
+    printf-encoded (d2, lid) strings, ties → lowest lid, exactly like
+    ``np.argmin``); the query probe cut ranks (6dp d2, lid); candidates
+    come only from probed lists; the exact-cosine rerank is the shared
+    round-before-rank / 4dp-raw-output recipe."""
+    from .operators.ann import ivf_fixed_centroids
+
+    cents = ivf_fixed_centroids(n_lists=n_lists, dim=dim)
+    rows = ",\n            ".join(
+        f"({lid}, [{', '.join(repr(float(x)) for x in cents[lid])}]::DOUBLE[])"
+        for lid in range(n_lists)
+    )
+    return f"""
+        WITH cent(lid, cv) AS (VALUES
+            {rows}
+        ),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (
+            SELECT vec_id,
+                   right(min(printf('%013.6f|%02d',
+                                    round(list_dot_product(v, v)
+                                          - 2*list_dot_product(v, c.cv)
+                                          + list_dot_product(c.cv, c.cv), 6),
+                                    c.lid)), 2)::INT AS lid
+            FROM corpus JOIN cent c ON true
+            GROUP BY 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, lid FROM (
+                SELECT q.vec_id, c.lid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.v, q.v)
+                                          - 2*list_dot_product(q.v, c.cv)
+                                          + list_dot_product(c.cv, c.cv), 6) ASC,
+                                    c.lid ASC) AS pr
+                FROM (SELECT * FROM corpus WHERE vec_id < 10) q
+                JOIN cent c ON true
+            ) WHERE pr <= {n_probe}
+        ),
+        cands AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assigned a ON a.lid = p.lid
+            WHERE p.query_id <> a.vec_id
+        ),
+        sims AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS raw
+            FROM cands
+            JOIN embeddings a ON a.vec_id = query_id
+            JOIN embeddings b ON b.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(raw, 4) AS cosine FROM (
+            SELECT query_id, neighbor_id, raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(raw, 6) DESC, neighbor_id ASC) AS rn
+            FROM sims
+        ) WHERE rn <= {k}
+    """
+
+
 def _pii_sql() -> str:
     """SQL replica of ``q_pii_scan``: the marker-planting CASE chain mirrors
     the Spark ``when`` chain, and the regex literals are the very constants
@@ -2783,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_list": _keep_list_sql(jaccard_threshold=0.8),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "contamination_check": r"""
             WITH lst AS (
                 SELECT doc_id,

@@ -166,6 +166,20 @@ def ivf_train_centroids(
     return centers
 
 
+def ivf_fixed_centroids(
+    n_lists: int, dim: int, scale: float = 0.25, seed: int = 11
+) -> np.ndarray:
+    """Data-independent IVF coarse centroids: seeded-uniform in
+    ``[-scale, scale]``, rounded to 6dp — the IVF analogue of
+    ``pq_fixed_codebooks``.  Used by the oracle-checked ``ann_ivf_topk``
+    driver query: the same 6dp doubles are inlined as SQL literals on the
+    DuckDB side, so list assignment is bit-identical across engines.
+    (Trained centroids — ``ivf_train_centroids`` — partition the corpus
+    better but depend on the data, which a static SQL oracle cannot.)"""
+    rs = np.random.RandomState(seed)
+    return np.round(rs.uniform(-scale, scale, (n_lists, dim)), 6)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -176,6 +190,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    parity: bool = False,
 ) -> DataFrame:
     """IVF ANN: KMeans coarse quantizer → inverted lists → probe the
     ``n_probe`` nearest lists per query → exact cosine rerank.
@@ -184,6 +199,13 @@ def ivf_topk(
     (centroids broadcast, vectorized argmin) and NEVER shuffled by vector —
     only (query, candidate) id pairs from the probed lists move.  With
     ``n_probe == n_lists`` the result equals the brute-force baseline.
+
+    ``parity=True`` is the cross-engine-checkable arithmetic mode (same
+    recipe as ``pq_topk``): inputs cast float32→float64 (exact), every
+    squared distance that feeds an argmin (corpus→list assignment) or a
+    rank cut (query probe selection) is rounded to 6dp first with ties
+    resolved to the lowest list id, so a SQL oracle computing the same
+    rounded expanded-L2² lands on the same lists.
     """
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
@@ -203,22 +225,28 @@ def ivf_topk(
 
     def _d2(Xb: np.ndarray) -> np.ndarray:
         C = bc.value
-        return (
+        d2 = (
             (Xb**2).sum(axis=1, keepdims=True)
             - 2.0 * Xb @ C.T
             + (C**2).sum(axis=1)[None, :]
         )
+        if parity:
+            d2 = np.round(d2, 6)  # round-before-argmin/rank (see pq_topk)
+        return d2
 
     @pandas_udf(IntegerType())
     def nearest_list(v: pd.Series) -> pd.Series:
-        Xb = np.stack(v.to_numpy())
+        Xb = np.stack(v.to_numpy()).astype(np.float64)
+        # argmin ties → lowest list id, matching the oracle's (d2, lid) min
         return pd.Series(_d2(Xb).argmin(axis=1).astype("int32"))
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_lists(v: pd.Series) -> pd.Series:
-        Xb = np.stack(v.to_numpy())
+        Xb = np.stack(v.to_numpy()).astype(np.float64)
         d2 = _d2(Xb)
-        idx = np.argsort(d2, axis=1)[:, :probe]
+        # stable sort: equal distances keep ascending list id, matching the
+        # oracle's ORDER BY d2, lid
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :probe]
         return pd.Series([row.astype("int32").tolist() for row in idx])
 
     c = corpus.select(
