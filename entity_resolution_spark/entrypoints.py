@@ -583,6 +583,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:  # IVF ANN (o
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2303.09540) semantic dedup over the
+    embeddings table: 16 fixed (data-independent, 6dp) centroids shared
+    with the SQL oracle as literals; within each cluster the screening
+    order is (centroid-sim 6dp DESC, vec_id ASC) and a vector drops when
+    any earlier one has pairwise cosine (6dp) >= 0.35.  The testdata
+    embeddings carry no true near-dups (max pairwise cosine ~0.5), so the
+    demo threshold sits where the keep/drop split is non-trivial at every
+    gate scale (sf0.001: 440 kept / 60 dropped)."""
+    from .operators.ann import ivf_fixed_centroids
+    from .operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        centroids=ivf_fixed_centroids(n_lists=16, dim=64),
+        threshold=0.35,
+        output_round_to=4,
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the documents table: docs with
     ``doc_id % 31 == 0`` play the held-out eval suite, the rest the
@@ -1401,6 +1421,7 @@ def _raw_queries() -> dict[str, QueryFn]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "contamination_check": q_contamination_check,
         "pii_scan": q_pii_scan,
         "distinct_token_kmv": q_distinct_token_kmv,
@@ -2372,6 +2393,69 @@ def _ann_ivf_sql(
     """
 
 
+def _semantic_dedup_sql(
+    threshold: float = 0.35, n_clusters: int = 16, dim: int = 64
+) -> str:
+    """SQL replica of ``q_semantic_dedup`` (``dedup.semantic_dedup``).
+
+    The fixed centroids (``ann.ivf_fixed_centroids``, 6dp doubles) are
+    inlined as a VALUES table; vector→cluster assignment is argmin over
+    6dp-rounded expanded L2² (min over fixed-width printf-encoded
+    (d2, lid) strings, ties → lowest cluster id, exactly like
+    ``np.argmin``); the screening order and the drop threshold both use
+    6dp-rounded cosines (round-before-rank / round-before-threshold); the
+    output centroid similarity rounds the RAW value to 4dp."""
+    from .operators.ann import ivf_fixed_centroids
+
+    cents = ivf_fixed_centroids(n_lists=n_clusters, dim=dim)
+    rows = ",\n            ".join(
+        f"({lid}, [{', '.join(repr(float(x)) for x in cents[lid])}]::DOUBLE[])"
+        for lid in range(n_clusters)
+    )
+    return f"""
+        WITH cent(lid, cv) AS (VALUES
+            {rows}
+        ),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (
+            SELECT vec_id,
+                   right(min(printf('%013.6f|%02d',
+                                    round(list_dot_product(v, v)
+                                          - 2*list_dot_product(v, c.cv)
+                                          + list_dot_product(c.cv, c.cv), 6),
+                                    c.lid)), 2)::INT AS cluster_id
+            FROM corpus JOIN cent c ON true
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT a.vec_id, a.cluster_id, raw, round(raw, 6) AS sim6
+            FROM (
+                SELECT a.vec_id, a.cluster_id,
+                       list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS raw
+                FROM assigned a
+                JOIN corpus e ON e.vec_id = a.vec_id
+                JOIN cent c ON c.lid = a.cluster_id
+            ) a
+        ),
+        dropped AS (
+            SELECT DISTINCT r.vec_id
+            FROM ranked l
+            JOIN ranked r ON l.cluster_id = r.cluster_id
+             AND (l.sim6 > r.sim6 OR (l.sim6 = r.sim6 AND l.vec_id < r.vec_id))
+            JOIN corpus a ON a.vec_id = l.vec_id
+            JOIN corpus b ON b.vec_id = r.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+        )
+        SELECT s.vec_id, s.cluster_id, round(s.raw, 4) AS centroid_sim,
+               d.vec_id IS NULL AS keep
+        FROM ranked s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    """
+
+
 def _pii_sql() -> str:
     """SQL replica of ``q_pii_scan``: the marker-planting CASE chain mirrors
     the Spark ``when`` chain, and the regex literals are the very constants
@@ -2879,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "contamination_check": r"""
             WITH lst AS (
                 SELECT doc_id,

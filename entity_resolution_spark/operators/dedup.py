@@ -20,6 +20,8 @@ same shape: per-doc signature table → bucket join → candidate pairs →
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -719,4 +721,119 @@ def duplicated_spans(
             F.count("*").cast("long").alias("n_grams"),
         )
         .drop("_island")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    output_round_to: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    2303.09540) over an embedding column: assign every vector to its
+    nearest centroid, then WITHIN each cluster drop any vector whose
+    cosine similarity (6dp, round-before-threshold) to an EARLIER vector
+    in the cluster's screening order is >= ``threshold``.  Screening order
+    = (similarity-to-centroid 6dp DESC, id ASC) — most-central first, as
+    the reference SemDeDup screening does, with a deterministic id
+    tie-break.  A vector is dropped if ANY earlier vector is a near-dup
+    (the max-over-the-upper-triangle rule), so the keep set is a pure
+    function of the pair table — no iteration, no order dependence.
+
+    Output: one row per input vector —
+    ``(<id_col>, cluster_id, centroid_sim, keep)``.
+
+    Scale shape (100 TB): centroids are broadcast (K x dim float64) and
+    assignment is one Arrow-batched UDF pass — vectors never shuffle for
+    it; the only shuffle keys on ``cluster_id``, and the pairwise stage is
+    a cluster-bucketed self-join.  K is chosen so clusters stay bounded
+    (SemDeDup runs K ~ n/10^4); ``max_cluster_size`` purges pathological
+    clusters from the pairwise stage (their members are all KEPT, the same
+    escape hatch as the LSH ``max_bucket_size`` bucket purge) so one hot
+    cluster cannot go quadratic.
+
+    Arithmetic is always the cross-engine parity recipe (float64 inputs,
+    6dp round-before-argmin / -rank / -threshold, ties to the lowest
+    cluster id / id) — this operator is oracle-checked and the recipe is
+    free at runtime.  ``output_round_to`` rounds the RAW centroid
+    similarity for output (never the 6dp value — the double-rounding
+    midpoint hazard, see ``embedding_near_dup_pairs``).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from ..functions.similarity import cosine
+
+    spark = embeddings.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    # lifetime: lazy plan references the broadcast; released by the context
+    # cleaner when the UDF closure is collected (K x dim float64 ~ KBs)
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf(IntegerType())
+    def nearest_cluster(v: pd.Series) -> pd.Series:
+        Cv = bc.value
+        Xb = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = np.round(
+            (Xb**2).sum(axis=1, keepdims=True)
+            - 2.0 * Xb @ Cv.T
+            + (Cv**2).sum(axis=1)[None, :],
+            6,
+        )  # round-before-argmin; np.argmin ties -> lowest cluster id
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+            "cluster_id int, _centroid array<double>",
+        )
+    )
+    base = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cluster_id", nearest_cluster("v"))
+        .join(cent_df, "cluster_id")
+        .withColumn("_raw", cosine(F.col("v"), F.col("_centroid")))
+        .withColumn("_sim6", F.round("_raw", 6))
+        .drop("_centroid")
+    )
+    # assignment + centroid sims feed both self-join sides AND the output —
+    # cut the plan so the UDF pass runs once, not three times
+    base = base.localCheckpoint(eager=False)
+    in_pairs = base
+    if max_cluster_size is not None:
+        sizes = base.groupBy("cluster_id").agg(F.count("*").alias("_csz"))
+        in_pairs = base.join(
+            F.broadcast(sizes.where(F.col("_csz") <= max_cluster_size)),
+            "cluster_id",
+        ).drop("_csz")
+    l, r = in_pairs.alias("l"), in_pairs.alias("r")
+    earlier = (F.col("l._sim6") > F.col("r._sim6")) | (
+        (F.col("l._sim6") == F.col("r._sim6")) & (F.col("l.id") < F.col("r.id"))
+    )
+    dropped = (
+        l.join(r, (F.col("l.cluster_id") == F.col("r.cluster_id")) & earlier)
+        # round BEFORE the threshold (cross-engine cut stability)
+        .where(F.round(cosine(F.col("l.v"), F.col("r.v")), 6) >= threshold)
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    sim_out = (
+        F.round("_raw", output_round_to)
+        if output_round_to is not None
+        else F.col("_sim6")
+    )
+    return base.join(dropped, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        sim_out.alias("centroid_sim"),
+        (~F.coalesce(F.col("_dropped"), F.lit(False))).alias("keep"),
     )

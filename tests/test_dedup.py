@@ -293,3 +293,88 @@ def test_duplicated_spans_refined_partition_invariance(spark):
     b = sorted(map(tuple, duplicated_spans(
         df.repartition(13), refine_boundaries=True).collect()))
     assert a == b and len(a) == 6
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _sem(spark, rows, cents, **kw):
+    out = dedup.semantic_dedup(_emb_df(spark, rows), cents, **kw)
+    return {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+
+
+def test_semantic_dedup_basic(spark):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),        # cluster 0, most central
+        (11, [0.999, 0.045, 0.0, 0.0]),    # ~same direction -> dropped
+        (12, [0.7, 0.0, 0.714, 0.0]),      # cos to 10 = 0.7 < tau -> kept
+        (13, [0.0, 1.0, 0.0, 0.0]),        # cluster 1, alone -> kept
+    ]
+    got = _sem(spark, rows, cents, threshold=0.9)
+    assert got == {10: (0, True), 11: (0, False), 12: (0, True), 13: (1, True)}
+
+
+def test_semantic_dedup_keeps_most_central_not_lowest_id(spark):
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    rows = [
+        (1, [0.95, 0.312, 0.0, 0.0]),  # farther from centroid, LOWER id
+        (2, [1.0, 0.0, 0.0, 0.0]),     # most central, higher id
+    ]
+    got = _sem(spark, rows, cents, threshold=0.9)
+    assert got == {1: (0, False), 2: (0, True)}
+
+
+def test_semantic_dedup_max_over_earlier_not_only_kept(spark):
+    # a at 0deg, b at 25deg, c at 50deg; tau = cos(30deg): b drops against
+    # a, and c drops against b EVEN THOUGH b itself was dropped (SemDeDup's
+    # max-over-the-upper-triangle rule) - cos(a,c) alone is below tau.
+    import math
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    got = _sem(
+        spark, [(1, v(0)), (2, v(25)), (3, v(50))], cents,
+        threshold=math.cos(math.radians(30)),
+    )
+    assert got == {1: (0, True), 2: (0, False), 3: (0, False)}
+
+
+def test_semantic_dedup_max_cluster_size_purges_pairwise(spark):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    near = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.045, 0.0, 0.0]),
+        (3, [0.998, 0.063, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    # cluster 0 has 3 mutual near-dups but exceeds the cap -> all kept
+    got = _sem(spark, near, cents, threshold=0.9, max_cluster_size=2)
+    assert got == {1: (0, True), 2: (0, True), 3: (0, True), 4: (1, True)}
+    # without the cap the two tails drop
+    got = _sem(spark, near, cents, threshold=0.9)
+    assert got == {1: (0, True), 2: (0, False), 3: (0, False), 4: (1, True)}
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    import math
+
+    rows = [
+        (i, [math.cos(i / 7.0), math.sin(i / 7.0),
+             math.cos(i / 3.0) * 0.2, 0.1])
+        for i in range(40)
+    ]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.5, 0.5, 0.5, 0.0]]
+    a = _sem(spark, rows, cents, threshold=0.98)
+    df = _emb_df(spark, rows).repartition(7)
+    out = dedup.semantic_dedup(df, cents, threshold=0.98)
+    b = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert a == b and len(a) == 40 and not all(k for _, k in a.values())
