@@ -70,6 +70,8 @@ HEADLINE = [
     "error_nearby_views",
     "doc_filter",
     "ann_pq_topk",
+    "ann_ivf_topk",
+    "semantic_dedup",
     "contamination_check",
     "pii_scan",
     "distinct_token_kmv",
