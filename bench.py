@@ -93,25 +93,59 @@ HEADLINE = [
 ]
 
 
+def _timings_from_tail(tail: str) -> dict[str, float]:
+    """Recover per-query timings from a driver-truncated stdout tail.
+
+    The driver keeps only the LAST N chars of bench stdout; when the JSON
+    line outgrows that window its head is cut off and the driver records
+    ``parsed: null`` (this happened to BENCH_r04.json).  The queries dict
+    survives almost intact in the text, so regex the ``"name": secs`` pairs
+    out of the segment that ends at the dict's closing ``}`` — a name whose
+    head was truncated ("e_pairs") simply never matches a current query
+    name, which the drift detector already ignores.
+    """
+    import re as _re
+
+    m = _re.search(r'"queries"\s*:\s*\{', tail)
+    seg = tail[m.end():] if m else tail
+    end = seg.find("}")
+    if end >= 0:
+        seg = seg[:end]
+    return {
+        name: float(val)
+        for name, val in _re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)"\s*:\s*([0-9.]+)', seg)
+    }
+
+
 def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
-    """Latest BENCH_r{N}.json in the repo root → (round tag, per-query secs)."""
+    """Newest BENCH_r{N}.json with usable timings → (round tag, per-query secs).
+
+    Prefers the driver-parsed JSON; falls back to tail recovery
+    (`_timings_from_tail`), then to the next-older round file.
+    """
     import glob
     import re as _re
 
-    best, best_n = None, -1
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                        "BENCH_r*.json")):
         m = _re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > best_n:
-            best_n, best = int(m.group(1)), path
-    if best is None:
-        return None, {}
-    try:
-        with open(best) as f:
-            doc = json.load(f)
-        return f"r{best_n:02d}", dict(doc.get("parsed", doc).get("queries", {}))
-    except Exception:
-        return None, {}
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for n, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed") if isinstance(doc, dict) else None
+            timings = dict((parsed or doc if isinstance(doc, dict) else {})
+                           .get("queries") or {})
+            if not timings and isinstance(doc.get("tail"), str):
+                timings = _timings_from_tail(doc["tail"])
+            if timings:
+                return f"r{n:02d}", timings
+        except Exception:
+            continue
+    return None, {}
 
 
 def _force(df) -> int:
