@@ -32,7 +32,15 @@ def main() -> None:
     spark = get_spark(app_name="oracle-check")
     # spill outside the repo: big oracles (keep-list at sf0.1) out-of-core
     # to ./.tmp otherwise — 32 GB of temp landed inside the git tree once
-    con = duckdb.connect(config={"temp_directory": "/tmp/duckdb_spill"})
+    # cap the spill so one monster oracle (40M-pair shingle Jaccard at sf1
+    # spilled >78 GB) fails cleanly instead of filling the disk under the
+    # concurrently-running Spark shuffle dirs
+    con = duckdb.connect(config={
+        "temp_directory": "/tmp/duckdb_spill",
+        "max_temp_directory_size": os.environ.get(
+            "SPARK_GRAFT_DUCK_TEMP_CAP", "50GiB"
+        ),
+    })
     register_views(con, entry_mod.TABLES, sf_dir)
 
     qs = entry_mod.queries()
